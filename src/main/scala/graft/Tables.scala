@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-provided synthetic star schema
+  * (/root/testdata/sf*, see TESTDATA.md).
+  *
+  * Design note (100 TB): every operator in this library receives its input as
+  * a DataFrame produced here, so the scan layer is a single seam. At cluster
+  * scale these calls would point at partitioned/bucketed table roots instead
+  * of single files; the operator code is unchanged. Filters/projections are
+  * applied by callers *after* these loaders, and Catalyst pushes them into
+  * the Parquet scan (verify with `.explain`: PushedFilters / ReadSchema).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's Parquet
+    * reader only surfaces as a nanosecond long
+    * (spark.sql.legacy.parquet.nanosAsLong=true — set by every session in
+    * this repo). Reconstruct a proper TimestampType at micro precision with
+    * integer division (a double division would lose precision above 2^53 ns).
+    * All engine logic downstream is second-granularity, matching the DuckDB
+    * oracle's epoch_ms(ts)//1000.
+    */
+  private def withNanoTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
+      case _ => df
+    }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame =
+    withNanoTs(table(s, d, "events"), "ts")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Session factory used by Bench and tests (Verify builds its own per the
+  * driver contract). AQE on; shuffle partitions sized for local[32] — on a
+  * real cluster this would be `spark.sql.adaptive.coalescePartitions` doing
+  * the sizing from runtime stats.
+  */
+object GraftSession {
+  def build(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.StudentT
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / model operators (SURVEY.md §2.10).
+  *
+  * The reference runs these in Python (scipy/numpy) over small extracted row
+  * sets; here they are distributed aggregations. Linear trends use Spark's
+  * `regr_*` declarative aggregates plus a native Student-t expression for
+  * p-values (trends.py:103-159, durability.py:368-436). Multi-covariate OLS
+  * (running_economy.py:199-342, heat_adjustment.py:117-192) is solved from
+  * sufficient statistics: the Gram matrix X'X and X'y are computed as ONE
+  * distributed aggregate (a handful of doubles regardless of input size) and
+  * the k×k solve happens on the driver — the 100 TB-safe formulation of
+  * "collect then fit" (what the reference does on ≤200 rows, made scale-free).
+  *
+  * Trend x-values are centered on a fixed epoch before fitting: at 1e9-scale
+  * raw epoch seconds the covariance cancellation would cost ~7 digits of
+  * precision against the oracle.
+  */
+object Stats {
+
+  /** Epoch second of 2024-01-01, the x-centering constant for event trends. */
+  private val X0 = 1704067200L
+
+  /** ACWR (acute:chronic workload ratio, training_load.py:38-120): 7-day
+    * acute sum over 28-day chronic mean on a per-key daily-load frame, with
+    * the reference's classification bands.
+    */
+  def acwr(daily: DataFrame, keyCol: String, dayIdxCol: String,
+      valueCol: String): DataFrame = {
+    val wAcute = Window.partitionBy(col(keyCol)).orderBy(col(dayIdxCol))
+      .rangeBetween(-6L, 0L)
+    val wChronic = Window.partitionBy(col(keyCol)).orderBy(col(dayIdxCol))
+      .rangeBetween(-27L, 0L)
+    daily
+      .withColumn("acute", sum(col(valueCol)).over(wAcute))
+      .withColumn("chronic", sum(col(valueCol)).over(wChronic) / 4.0)
+      .withColumn("acwr",
+        when(col("chronic") > 0, col("acute") / col("chronic")))
+      .withColumn("zone",
+        when(col("acwr").isNull, lit(null).cast("string"))
+          .when(col("acwr") < 0.8, "low")
+          .when(col("acwr") <= 1.3, "optimal")
+          .when(col("acwr") <= 1.5, "caution")
+          .otherwise("high"))
+  }
+
+  /** OLS with inference from distributed sufficient statistics: returns one
+    * row with betas, two-sided p-values, R² and per-covariate VIF
+    * (running_economy.py:199-342 semantics). `xCols` max ~10 — the driver
+    * solve is O(k³) on a k×k matrix, input size never collected.
+    */
+  def olsInference(spark: SparkSession, df: DataFrame, yCol: String,
+      xCols: Seq[String]): DataFrame = {
+    import breeze.linalg.{inv, DenseMatrix, DenseVector}
+    val k = xCols.size + 1
+    val feats = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    // upper-triangle of X'X, then X'y, then y'y — one aggregate row
+    val gram = for (i <- 0 until k; j <- i until k)
+      yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
+    val xty = (0 until k).map(i => sum(feats(i) * y).as(s"xy_$i"))
+    val aggs = gram ++ xty :+ sum(y * y).as("yy") :+ count(lit(1)).as("n")
+    val row = df.na.drop(yCol +: xCols).agg(aggs.head, aggs.tail: _*).head()
+
+    val xtx = DenseMatrix.zeros[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getAs[Double](s"g_${i}_$j")
+      xtx(i, j) = v; xtx(j, i) = v
+    }
+    val xy = DenseVector((0 until k).map(i => row.getAs[Double](s"xy_$i")).toArray)
+    val yy = row.getAs[Double]("yy")
+    val n = row.getAs[Long]("n")
+
+    val xtxInv = inv(xtx)
+    val beta = xtxInv * xy
+    val sse = math.max(yy - (beta dot xy), 0.0)
+    val meanY = xy(0) / n
+    val sst = yy - n * meanY * meanY
+    val dfree = (n - k).toDouble
+    val sigma2 = if (dfree > 0) sse / dfree else Double.NaN
+    val tdist = if (dfree > 0)
+      Some(new org.apache.commons.math3.distribution.TDistribution(dfree))
+    else None
+    val se = (0 until k).map(i => math.sqrt(sigma2 * xtxInv(i, i)))
+    val pvals = (0 until k).map { i =>
+      tdist.map(td => 2.0 * (1.0 - td.cumulativeProbability(
+        math.abs(beta(i) / se(i))))).getOrElse(Double.NaN)
+    }
+    val r2 = if (sst > 0) 1.0 - sse / sst else Double.NaN
+    // VIF_i = 1 / (1 - R²_i) of x_i regressed on the others; from the
+    // correlation-matrix inverse diagonal (standard identity).
+    val vifs: Seq[Double] =
+      if (xCols.size < 2) xCols.map(_ => 1.0)
+      else {
+        val m = xCols.size
+        val covX = DenseMatrix.zeros[Double](m, m)
+        for (i <- 1 until k; j <- 1 until k) {
+          val sij = xtx(i, j) - xtx(0, i) * xtx(0, j) / n
+          covX(i - 1, j - 1) = sij
+        }
+        val corr = DenseMatrix.tabulate(m, m)((i, j) =>
+          covX(i, j) / math.sqrt(covX(i, i) * covX(j, j)))
+        val corrInv = inv(corr)
+        (0 until m).map(i => corrInv(i, i))
+      }
+
+    import spark.implicits._
+    val cols = ("intercept" +: xCols).zipWithIndex.map { case (name, i) =>
+      (name, beta(i), se(i), pvals(i))
+    }
+    cols.toDF("term", "beta", "std_err", "p_value")
+      .withColumn("r2", lit(r2))
+      .withColumn("n", lit(n))
+      .withColumn("vif",
+        when(col("term") === "intercept", lit(null).cast("double"))
+          .otherwise(element_at(
+            typedLit(xCols.zip(vifs).toMap), col("term"))))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val entries: Seq[Q] = Seq(
+    Q("q_linreg",
+      s"""SELECT user_id,
+        |  regr_slope(value, x) AS slope,
+        |  regr_intercept(value, x) AS intercept,
+        |  regr_r2(value, x) AS r2,
+        |  CAST(regr_count(value, x) AS BIGINT) AS n
+        |FROM (SELECT user_id, value,
+        |        CAST(epoch_ms(ts)//1000 - $X0 AS DOUBLE) AS x FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("x", (unix_timestamp(col("ts")) - X0).cast("double"))
+        .groupBy("user_id")
+        .agg(
+          regr_slope(col("value"), col("x")).as("slope"),
+          regr_intercept(col("value"), col("x")).as("intercept"),
+          regr_r2(col("value"), col("x")).as("r2"),
+          regr_count(col("value"), col("x")).as("n"))
+        .orderBy("user_id")
+    },
+
+    // p-value needs a t-CDF, which DuckDB lacks → rows-only check; the
+    // slope/r²/n components are oracle-checked via q_linreg above.
+    Q.noOracle("q_trend_class") { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("x", (unix_timestamp(col("ts")) - X0).cast("double"))
+        .groupBy("user_id")
+        .agg(
+          regr_slope(col("value"), col("x")).as("slope"),
+          corr(col("value"), col("x")).as("r"),
+          regr_count(col("value"), col("x")).as("n"))
+        .withColumn("p_value", StudentT.corrPValue(col("r"), col("n")))
+        .withColumn("direction",
+          when(col("n") < 3 || col("p_value").isNull, "insufficient")
+            .when(col("p_value") > 0.05, "stable")
+            .when(col("slope") > 0, "improving")
+            .otherwise("declining"))
+        .orderBy("user_id")
+    },
+
+    Q("q_acwr",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    sum(value) AS daily_v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, day, acwr, zone FROM (
+        |  SELECT user_id, day, acute, chronic,
+        |    CASE WHEN chronic > 0 THEN acute / chronic END AS acwr,
+        |    CASE WHEN chronic <= 0 THEN NULL
+        |         WHEN acute / chronic < 0.8 THEN 'low'
+        |         WHEN acute / chronic <= 1.3 THEN 'optimal'
+        |         WHEN acute / chronic <= 1.5 THEN 'caution'
+        |         ELSE 'high' END AS zone
+        |  FROM (
+        |    SELECT user_id, day,
+        |      sum(daily_v) OVER (PARTITION BY user_id ORDER BY day_idx
+        |        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS acute,
+        |      sum(daily_v) OVER (PARTITION BY user_id ORDER BY day_idx
+        |        RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) / 4.0 AS chronic
+        |    FROM daily) a) b
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum("value").as("daily_v"))
+        .withColumn("day_idx",
+          datediff(col("day"), lit("1990-01-01")).cast("long"))
+      acwr(daily, "user_id", "day_idx", "daily_v")
+        .select("user_id", "day", "acwr", "zone")
+        .orderBy("user_id", "day")
+    },
+
+    Q("q_ols_2var",
+      """WITH s AS (
+        |  SELECT covar_pop(l_quantity, l_quantity) AS c11,
+        |    covar_pop(l_quantity, l_discount) AS c12,
+        |    covar_pop(l_discount, l_discount) AS c22,
+        |    covar_pop(l_quantity, l_extendedprice) AS c1y,
+        |    covar_pop(l_discount, l_extendedprice) AS c2y,
+        |    avg(l_quantity) AS m1, avg(l_discount) AS m2,
+        |    avg(l_extendedprice) AS my, count(*) AS n
+        |  FROM lineitem)
+        |SELECT
+        |  (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |  (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2,
+        |  my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+        |     - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2 AS b0,
+        |  n
+        |FROM s""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(
+        covar_pop(col("l_quantity"), col("l_quantity")).as("c11"),
+        covar_pop(col("l_quantity"), col("l_discount")).as("c12"),
+        covar_pop(col("l_discount"), col("l_discount")).as("c22"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("c1y"),
+        covar_pop(col("l_discount"), col("l_extendedprice")).as("c2y"),
+        avg("l_quantity").as("m1"), avg("l_discount").as("m2"),
+        avg("l_extendedprice").as("my"), count(lit(1)).as("n"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val b1 = (col("c22") * col("c1y") - col("c12") * col("c2y")) / det
+      val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / det
+      stats.select(
+        b1.as("b1"), b2.as("b2"),
+        (col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),
+        col("n"))
+    },
+
+    Q("q_ols_hinge",
+      """WITH f AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS x1,
+        |    greatest(l_tax - 0.04, 0.0) AS x2
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT covar_pop(x1, x1) AS c11, covar_pop(x1, x2) AS c12,
+        |    covar_pop(x2, x2) AS c22, covar_pop(x1, y) AS c1y,
+        |    covar_pop(x2, y) AS c2y, avg(x1) AS m1, avg(x2) AS m2,
+        |    avg(y) AS my, count(*) AS n
+        |  FROM f)
+        |SELECT
+        |  (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |  (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b_hinge,
+        |  my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+        |     - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2 AS b0,
+        |  n
+        |FROM s""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d).select(
+        col("l_extendedprice").as("y"),
+        col("l_quantity").as("x1"),
+        greatest(col("l_tax") - 0.04, lit(0.0)).as("x2"))
+      val stats = f.agg(
+        covar_pop(col("x1"), col("x1")).as("c11"),
+        covar_pop(col("x1"), col("x2")).as("c12"),
+        covar_pop(col("x2"), col("x2")).as("c22"),
+        covar_pop(col("x1"), col("y")).as("c1y"),
+        covar_pop(col("x2"), col("y")).as("c2y"),
+        avg("x1").as("m1"), avg("x2").as("m2"),
+        avg("y").as("my"), count(lit(1)).as("n"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val b1 = (col("c22") * col("c1y") - col("c12") * col("c2y")) / det
+      val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / det
+      stats.select(
+        b1.as("b1"), b2.as("b_hinge"),
+        (col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),
+        col("n"))
+    },
+
+    // Distributed-Gram OLS with p-values and VIF — inference needs a t-CDF
+    // (absent in DuckDB) → rows-only; the beta point estimates are covered
+    // by the q_ols_2var oracle above on the same features.
+    Q.noOracle("q_ols_inference") { (s, d) =>
+      olsInference(s, Tables.lineitem(s, d), "l_extendedprice",
+        Seq("l_quantity", "l_discount")).orderBy("term")
+    },
+
+    Q("q_pareto_frontier_fit",
+      s"""WITH pts AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(epoch_ms(ts)//1000 - $X0 AS DOUBLE) AS x
+        |  FROM events),
+        |fr AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, value, x,
+        |      max(value) OVER (PARTITION BY user_id ORDER BY x DESC, event_id DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |    FROM pts) t
+        |  WHERE runmax IS NULL OR value > runmax)
+        |SELECT user_id, regr_slope(value, x) AS slope,
+        |  regr_intercept(value, x) AS intercept,
+        |  CAST(regr_count(value, x) AS BIGINT) AS n_frontier
+        |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pts = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("value"),
+        (unix_timestamp(col("ts")) - X0).cast("double").as("x"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("x").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("runmax", max(col("value")).over(w))
+        .filter(col("runmax").isNull || col("value") > col("runmax"))
+        .groupBy("user_id")
+        .agg(
+          regr_slope(col("value"), col("x")).as("slope"),
+          regr_intercept(col("value"), col("x")).as("intercept"),
+          regr_count(col("value"), col("x")).as("n_frontier"))
+        .orderBy("user_id")
+    }
+  )
+}
