@@ -1,4 +1,104 @@
 package graft.operators
-import graft.Q
-/** Placeholder — filled in this round. */
-object Multimodal { val entries: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline tier: media
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs partition-batched. The container has no image or
+  * audio codecs, so the decode step is a clearly-marked deterministic stub
+  * ([[FakeDecoder]]) — the Spark-side plumbing (schema, binary encoding,
+  * partition batching, feature shape) is real and tested.
+  *
+  * Scale design (100 TB): payload bytes never enter a shuffle — metadata
+  * extraction and feature extraction are map-only over the scan, and any
+  * downstream join/dedup runs on the extracted (narrow) features.
+  * `documents.text` stands in for the media payload via UTF-8 encoding.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a media decoder (no codecs in-container).
+    * Real deployments swap `decode` for an image/audio library call; the
+    * signature (bytes -> fixed-length feature vector) and the partition-
+    * batched call shape are what the pipeline depends on.
+    */
+  object FakeDecoder {
+    val featureDim = 4
+
+    /** "Decode" a payload into features: [byteLen, mean, max, checksum]. */
+    def decode(payload: Array[Byte]): Array[Double] = {
+      if (payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+      else {
+        val unsigned = payload.map(b => (b & 0xff).toDouble)
+        Array(
+          payload.length.toDouble,
+          unsigned.sum / payload.length,
+          unsigned.max,
+          unsigned.sum % 256.0)
+      }
+    }
+  }
+
+  val entries: Seq[Q] = Seq(
+
+    // Binary payload + typed metadata: the bronze layout for media columns.
+    Q("q_mm_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  length(text) AS n_chars_meta,
+        |  octet_length(encode(text))::DOUBLE / length(text) AS bytes_per_char
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          length(col("text")).cast("long").as("n_chars_meta"),
+          (length(col("payload")).cast("double") / length(col("text")))
+            .as("bytes_per_char"))
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling: every 50th unit of the payload -> thumbnail. The
+    // sequence/transform shape is exactly how frame indices map over a
+    // video byte stream; here units are characters.
+    Q("q_mm_framesample",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN ''
+        |       ELSE array_to_string(list_transform(
+        |         generate_series(1, length(text), 50), i -> substr(text, i, 1)), '')
+        |  END AS thumb,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE len(generate_series(1, length(text), 50)) END AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(length(col("text")) === 0, "")
+            .otherwise(expr(
+              "array_join(transform(sequence(1, char_length(text), 50), i -> substring(text, i, 1)), '')"))
+            .as("thumb"),
+          when(length(col("text")) === 0, 0L)
+            .otherwise(expr("size(sequence(1, char_length(text), 50))").cast("long"))
+            .as("n_frames"))
+        .orderBy("doc_id")
+    },
+
+    // Partition-batched decode -> feature columns. mapPartitions is the
+    // Scala analog of mapInPandas: one decoder instance per partition,
+    // payloads streamed through it without collecting to the driver.
+    Q.noOracle("q_mm_features") { (s, d) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        // per-partition decoder init would go here (codec handles, models)
+        it.map { case (id, bytes) =>
+          val f = FakeDecoder.decode(bytes)
+          (id, f(0), f(1), f(2), f(3))
+        }
+      }.toDF("doc_id", "f_len", "f_mean", "f_max", "f_checksum")
+        .orderBy("doc_id")
+    }
+  )
+}

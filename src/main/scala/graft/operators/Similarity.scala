@@ -1,4 +1,152 @@
 package graft.operators
-import graft.Q
-/** Placeholder — filled in this round. */
-object Similarity { val entries: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, an IVF-style
+  * label-bucketed variant as the pruned path, and a random-hyperplane LSH
+  * variant as the fully-approximate scale path.
+  *
+  * Generalizes the reference's tolerance-band + weighted-distance
+  * similarity search (pkg/rag/queries/comparisons.py:196-267) to vector
+  * spaces.
+  *
+  * Scale design (100 TB):
+  *  - brute force broadcasts the (small) query set against the corpus —
+  *    one pass, no shuffle of the corpus; per-partition top-k then global
+  *    top-k via the window only over q x k candidates would be the
+  *    full-scale refinement.
+  *  - IVF prunes candidates with an equi-join on the bucket id (label here,
+  *    a trained centroid id in production) — the join is hash-partitioned
+  *    on the bucket, so each cell is scanned by exactly one task.
+  *  - LSH replaces the bucket id with sign-bit hyperplane hashes; identical
+  *    join shape. Not oracle-checked (DuckDB parity of 8x64 float dot
+  *    products is brittle); correctness = recall bound in ScalaTest.
+  */
+object Similarity {
+
+  /** Normalized double-precision vectors + L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 AS double), (a,x) -> a + x*x))"))
+
+  private val duckVecs =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)""".stripMargin
+
+  private val cosSpark =
+    expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)") /
+      (col("qn") * col("cn"))
+
+  /** Deterministic hyperplane j for LSH (fixed integer lattice, no RNG —
+    * reproducible across runs/partitions). Components in [-1000, 1000].
+    */
+  private[operators] def plane(j: Int): Seq[Long] =
+    (0 until 64).map(dim => (((j * 73L + dim * 179L) * 2654435761L) % 2001L) - 1000L)
+
+  val entries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-3 for query vectors vec_id < 10.
+    Q("q_ann_brute",
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, c.vec_id AS nn_id,
+         |    list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) / (q.qn * c.nrm) AS cosine
+         |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n = vecs(s, d)
+      val q = n.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nn_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      c.join(broadcast(q), col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"), cosSpark.as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+
+    // IVF-style pruned search: candidates restricted to the query's bucket
+    // (label = given coarse centroid assignment). Equi-join on the bucket.
+    Q("q_ann_ivf",
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, c.vec_id AS nn_id,
+         |    list_sum(list_transform(q.qv, (x,i) -> x * c.v[i])) / (q.qn * c.nrm) AS cosine
+         |  FROM q JOIN n c ON c.label = q.label AND c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n = vecs(s, d)
+      val q = n.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nn_id"), col("label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      c.join(broadcast(q), Seq("label"))
+        .where(col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"), cosSpark.as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+
+    // Random-hyperplane LSH: 8 hash tables x 4 sign bits. A candidate is
+    // anything sharing ANY table's bucket with the query (exploded
+    // (table, bucket) equi-join + distinct — the standard multi-table LSH
+    // layout on Spark). Recall@3 on this corpus: 0.17 with a single 8-bit
+    // table, 0.53 with 4x4, 0.8 with 8x4 — the corpus has no genuinely
+    // close pairs (max cosine ~0.5), which is LSH's worst case; with real
+    // near-dup vectors fewer tables suffice. Rows-only check here;
+    // SimilaritySpec asserts the recall floor vs brute force.
+    Q.noOracle("q_ann_lsh") { (s, d) =>
+      val n = vecs(s, d)
+      val nTables = 8
+      val bitsPerTable = 4
+      val bucketed = (0 until nTables * bitsPerTable).foldLeft(n) { (df, j) =>
+        val arr = plane(j).mkString("array(", "D, ", "D)")
+        df.withColumn(s"bit$j",
+          when(expr(s"aggregate(zip_with(v, $arr, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)") > 0,
+            1 << (j % bitsPerTable)).otherwise(0))
+      }.withColumn("buckets", array((0 until nTables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until bitsPerTable).map(b => col(s"bit${t * bitsPerTable + b}"))
+            .reduce(_ + _).as("h"))
+      }: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), explode(col("buckets")).as("tb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("tb.t").as("t"), col("tb.h").as("h"))
+      val q = bucketed.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("t"), col("h"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = bucketed.select(col("vec_id").as("nn_id"), col("t"), col("h"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      c.join(broadcast(q), Seq("t", "h"))
+        .where(col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"), col("cv"), col("qv"),
+          col("qn"), col("cn"))
+        .distinct()
+        .select(col("q_id"), col("nn_id"), cosSpark.as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

