@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Dedup semantics on a hand-built corpus with known duplicates — covers
+  * what the DuckDB oracle cannot: recall against ground truth (the oracle
+  * mirrors the blocking, so it would agree with a blocking bug).
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Writes a tiny documents.parquet + embeddings.parquet into a temp dir
+    * shaped like the driver testdata, so operators run unmodified.
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    val docs = Seq(
+      // 0 and 1: identical; 2: near-dup of 0 (one token changed); 3: unrelated
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),
+      (2L, "the quick brown fox leaps over the lazy dog again and again", "en", "s1"),
+      (3L, "completely different content with no overlap whatsoever here now", "en", "s1"))
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("exact dedup keeps the lowest id and counts copies") {
+    val rows = run("q_dedup_exact").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds identical and near-dup pairs, skips unrelated") {
+    val pairs = run("q_dedup_ngram").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs((0L, 1L)) === 1.0) // identical text
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+  }
+
+  test("minhash LSH pairs agree with exact ngram pairs on this corpus") {
+    val lsh = run("q_dedup_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q_dedup_ngram").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical texts hash equal; near-dups are hamming-close") {
+    val sh = run("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(0L) === sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("embedding near-dup pairs: close pair found, orthogonal pairs not") {
+    val pairs = run("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("sf0.001 ngram blocking loses nothing vs unblocked ground truth") {
+    // recompute truth without the length-band blocking
+    import graft.functions.TextHash._
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(tokensSpark("text")))
+      .withColumn("sh", expr(shinglesSpark("toks")))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val a = base.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = base.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val i = size(array_intersect(col("a_sh"), col("b_sh")))
+    val u = size(col("a_sh")) + size(col("b_sh")) - i
+    val truth = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (i.cast("double") / u).as("j"))
+      .where(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === truth)
+  }
+}

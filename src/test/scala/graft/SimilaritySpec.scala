@@ -1,0 +1,35 @@
+package graft
+
+/** Approximate-search quality floors vs the exact baseline — the part the
+  * DuckDB oracle deliberately does not check (q_ann_lsh is rows-only).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  test("brute force returns exactly 3 neighbors per query") {
+    val rows = SparkEntry.queries("q_ann_brute")(spark, sfDir).collect()
+    assert(rows.length === 30) // 10 queries x 3
+    assert(rows.map(_.getLong(0)).distinct.length === 10)
+  }
+
+  test("LSH recall@3 vs brute force clears the floor") {
+    val brute = pairs("q_ann_brute")
+    val lsh = pairs("q_ann_lsh")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // corpus has no close pairs (max cos ~0.5) — LSH worst case; 8x4
+    // tables measured 0.8 at sf0.01, floor set with margin
+    assert(recall >= 0.5, s"LSH recall@3 degraded: $recall")
+  }
+
+  test("IVF candidates stay inside the query's bucket") {
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val joined = ivf.join(labels, ivf("q_id") === labels("vec_id"))
+      .withColumnRenamed("label", "q_label").drop("vec_id")
+    val both = joined.join(labels, joined("nn_id") === labels("vec_id"))
+    assert(both.where("q_label <> label").count() === 0)
+  }
+}
