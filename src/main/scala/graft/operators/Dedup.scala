@@ -65,29 +65,37 @@ object Dedup {
     // The ±1 adjacency becomes 3 exploded equi-keys on the left side — an
     // equi shuffle join, not a range join (Spark would otherwise fall back
     // to broadcast-nested-loop for the abs() predicate).
+    //
+    // Perf (measured at sf0.1): the intersect runs on the 8-byte shingle
+    // HASHES, not the shingle strings (same counts modulo ~1e-9 collision
+    // odds — the oracle hashes identically, so parity holds), and the
+    // probe side is explicitly repartitioned: documents arrive as one
+    // parquet file -> one input partition, which previously serialized the
+    // whole O(pairs) intersect stage onto a single core.
     Q("q_dedup_ngram",
       s"""WITH $shingledDuck,
-         |b AS (SELECT doc_id, n_chars // 50 AS band, sh FROM s WHERE len(sh) > 0),
+         |b AS (SELECT doc_id, n_chars // 50 AS band, hs FROM h WHERE len(hs) > 0),
          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.sh, b.sh)) AS i,
-         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+         |    len(list_intersect(a.hs, b.hs)) AS i,
+         |    len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS u
          |  FROM b a JOIN b b
          |    ON abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, i::DOUBLE / u AS jaccard
          |FROM p WHERE u > 0 AND i::DOUBLE / u >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val base = shingled(s, d)
-        .where(size(col("sh")) > 0)
+        .where(size(col("hs")) > 0)
         .select(col("doc_id"),
-          floor(col("n_chars") / 50).as("band"), col("sh"))
+          floor(col("n_chars") / 50).as("band"), col("hs"))
       val left = base
         .withColumn("bk", explode(array(col("band") - 1, col("band"), col("band") + 1)))
-        .select(col("doc_id").as("a_id"), col("bk"), col("sh").as("a_sh"))
+        .select(col("doc_id").as("a_id"), col("bk"), col("hs").as("a_hs"))
+        .repartition(col("bk"), col("a_id"))
       val right = base
         .select(col("doc_id").as("b_id"),
-          col("band").as("bk"), col("sh").as("b_sh"))
-      val i = size(array_intersect(col("a_sh"), col("b_sh")))
-      val u = size(col("a_sh")) + size(col("b_sh")) - i
+          col("band").as("bk"), col("hs").as("b_hs"))
+      val i = size(array_intersect(col("a_hs"), col("b_hs")))
+      val u = size(col("a_hs")) + size(col("b_hs")) - i
       left.join(right, Seq("bk"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
@@ -125,26 +133,29 @@ object Dedup {
       }.mkString(",\n    ")
       val orJoin = (0 until 4).map(g => s"a.bk$g = b.bk$g").mkString(" OR ")
       s"""WITH $shingledDuck,
-         |m AS (SELECT doc_id, sh,
+         |m AS (SELECT doc_id, hs,
          |    $mh
-         |  FROM h WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh,
+         |  FROM h WHERE len(hs) > 0),
+         |sig AS (SELECT doc_id, hs,
          |    $bands
          |  FROM m),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($orJoin)),
          |j AS (SELECT c.a_id, c.b_id,
-         |    len(list_intersect(x.sh, y.sh)) AS i,
-         |    len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
+         |    len(list_intersect(x.hs, y.hs)) AS i,
+         |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
          |  FROM cand c JOIN sig x ON c.a_id = x.doc_id
          |              JOIN sig y ON c.b_id = y.doc_id)
          |SELECT a_id, b_id, i::DOUBLE / u AS jaccard
          |FROM j WHERE u > 0 AND i::DOUBLE / u >= 0.5
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      val base = shingled(s, d).where(size(col("sh")) > 0)
+      // Exact verify runs on shingle hashes (see q_dedup_ngram perf note);
+      // candidate pairs travel id-only, the hash arrays join back after
+      // the distinct — payload arrays never go through the pair shuffle.
+      val base = shingled(s, d).where(size(col("hs")) > 0)
       val sig = base.select(
-        col("doc_id") +: col("sh") +:
+        col("doc_id") +: col("hs") +:
           minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
       val withBands = sig.withColumn("bands", array(
         (0 until 4).map { g =>
@@ -153,19 +164,21 @@ object Dedup {
               (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
         }: _*))
       val exploded = withBands
-        .select(col("doc_id"), col("sh"), explode(col("bands")).as("band"))
-        .select(col("doc_id"), col("sh"),
-          col("band.g").as("g"), col("band.k").as("k"))
-      val a = exploded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        col("g"), col("k"))
-      val b = exploded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        col("g"), col("k"))
-      val i = size(array_intersect(col("a_sh"), col("b_sh")))
-      val u = size(col("a_sh")) + size(col("b_sh")) - i
-      a.join(b, Seq("g", "k"))
+        .select(col("doc_id"), explode(col("bands")).as("band"))
+        .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
+        .repartition(col("g"), col("k"))
+      val a = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
+      val b = exploded.select(col("doc_id").as("b_id"), col("g"), col("k"))
+      val cand = a.join(b, Seq("g", "k"))
         .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+        .select("a_id", "b_id")
         .distinct()
+      val hsOnly = base.select(col("doc_id"), col("hs"))
+      val i = size(array_intersect(col("a_hs"), col("b_hs")))
+      val u = size(col("a_hs")) + size(col("b_hs")) - i
+      cand
+        .join(hsOnly.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+        .join(hsOnly.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           (i.cast("double") / u).as("jaccard"), u.as("u"))
         .where(col("u") > 0 && col("jaccard") >= 0.5)
