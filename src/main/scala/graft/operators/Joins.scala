@@ -148,6 +148,13 @@ object Joins {
         .orderBy("o_orderkey")
     },
 
+    // Interval/range join with a pushed-down aggregation: counting lineitem
+    // rows per 30-day order window only needs the per-shipdate COUNTS, so
+    // lineitem collapses 600k -> ~2.5k rows BEFORE the non-equi join. The
+    // broadcast nested loop then touches orders x distinct-dates instead of
+    // orders x lineitem (measured 122 s -> sub-second at sf0.1; at 100 TB
+    // the same rewrite keeps the BNL side bounded by the date domain, which
+    // grows with time, not data volume).
     Q("q_interval_join",
       """SELECT o.o_orderkey, count(l.l_orderkey) AS n_shipped
         |FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
@@ -157,13 +164,14 @@ object Joins {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
         .select("o_orderkey", "o_orderdate")
-      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
-      broadcast(o).join(l,
-          l("l_shipdate") >= o("o_orderdate") &&
-          l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+      val perDate = Tables.lineitem(s, d)
+        .groupBy("l_shipdate").agg(count(lit(1)).as("cnt"))
+      o.join(broadcast(perDate),
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= date_add(col("o_orderdate"), 30),
           "left_outer")
         .groupBy("o_orderkey")
-        .agg(count(l("l_orderkey")).as("n_shipped"))
+        .agg(sum(coalesce(col("cnt"), lit(0L))).as("n_shipped"))
         .orderBy("o_orderkey")
     },
 

@@ -28,12 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalized double-precision vectors + L2 norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 AS double), (a,x) -> a + x*x))"))
+  /** Normalized double-precision vectors + L2 norm. Repartitioned before
+    * the per-element math (embeddings arrive as one parquet file = one
+    * partition) and persisted: every search query references the frame as
+    * both the query and candidate side.
+    */
+  private val vecsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame =
+    vecsCache.getOrElseUpdate(d + "#" + s.hashCode,
+      Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 AS double), (a,x) -> a + x*x))"))
+        .persist())
 
   private val duckVecs =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

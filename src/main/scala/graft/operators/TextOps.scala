@@ -36,6 +36,7 @@ object TextOps {
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
@@ -66,6 +67,7 @@ object TextOps {
       val stopSpark = stop.map(w => s"'$w'").mkString(", ")
       Tables.documents(s, d)
         .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
         .withColumn("nc", length(col("text")).cast("long"))
         .withColumn("npunct",
           (length(col("text")) -
@@ -115,6 +117,7 @@ object TextOps {
       val fr = Seq("le", "la", "de", "et", "les", "un").map(w => s"'$w'").mkString(", ")
       val base = Tables.documents(s, d)
         .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
         .withColumn("s_en", expr(s"size(filter(toks, x -> x IN ($en)))").cast("long"))
         .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ($es)))").cast("long"))
         .withColumn("s_fr", expr(s"size(filter(toks, x -> x IN ($fr)))").cast("long"))
@@ -129,19 +132,22 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Full-document rolling hash + winnowing-style minimum shingle hash.
+    // Full-document rolling hash + winnowing-style minimum shingle hash
+    // (shingle hashes combined arithmetically from token hashes — see
+    // TextHash.shingleHashesSpark for why strings never enter the hot path).
     Q("q_text_fingerprint",
       s"""WITH t AS (SELECT doc_id, text, ${tokensDuck("text")} AS toks FROM documents),
-         |s AS (SELECT doc_id, text, ${shinglesDuck("toks")} AS sh FROM t)
+         |h0 AS (SELECT doc_id, text, ${hashArrayDuck("toks")} AS th FROM t)
          |SELECT doc_id, ${polyDuck("text")} AS full_hash,
-         |  list_min(${hashArrayDuck("sh")}) AS min_shingle_hash
-         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |  list_min(${shingleHashesDuck("th")}) AS min_shingle_hash
+         |FROM h0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .withColumn("toks", expr(tokensSpark("text")))
-        .withColumn("sh", expr(shinglesSpark("toks")))
         .select(col("doc_id"),
           expr(polySpark("text")).as("full_hash"),
-          expr(s"array_min(${hashArraySpark("sh")})").as("min_shingle_hash"))
+          expr(s"transform(${tokensSpark("text")}, s -> ${polySpark("s")})").as("th"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("full_hash"),
+          expr(s"array_min(${shingleHashesSpark("th")})").as("min_shingle_hash"))
         .orderBy("doc_id")
     }
   )
