@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming idioms for the reference's incremental patterns
+  * (SURVEY.md §2.11). The reference has no streaming runtime — its
+  * *differential catch-up ingest* advances a per-domain high-water-mark and
+  * fetches only the missing window (docs/mcp-tools-reference.md:645-655).
+  * The Spark-native upgrade is a checkpointed file-source stream with
+  * `Trigger.AvailableNow`: the checkpoint IS the high-water-mark, exactly
+  *-once per file, and each invocation drains whatever arrived since the
+  * last run then stops — the same incremental-batch contract, minus the
+  * hand-rolled cursor table.
+  */
+object Streams {
+
+  /** Incremental catch-up over a growing directory of parquet activity
+    * batches: processes only files unseen by the checkpoint, applies the
+    * transform, appends to the silver path, and returns when caught up.
+    */
+  def catchUp(spark: SparkSession, sourceDir: String, checkpointDir: String,
+      outDir: String, schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+    transform(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
+  /** Streaming analog of the batch gap-sessionization (form_events.py:63-80
+    * collapses flagged seconds with gaps <= 2 s). Boundary convention:
+    * session_window merges events with diff < gap, the batch op with
+    * diff <= tolerance — so gap = tolerance + 1 second gives identical
+    * grouping on integer-second data. Watermark bounds the session state.
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "3 seconds", watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Exactly-once event dedup on (key, event-time) with bounded state —
+    * the streaming guard for at-least-once sources feeding the append-only
+    * versioned tables (duckdb_schema_mapping.md:852; the batch-side
+    * latest-version-wins read stays the row_number()=1 window in
+    * operators.Windows). Including the event-time column in the dedup key
+    * lets the watermark expire state.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 minute"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming semantics: AvailableNow catch-up (checkpoint as high-water-
+  * mark), session-window gap dedup, bounded-state event dedup.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("activity_id", LongType),
+    StructField("value", DoubleType)))
+
+  test("catch-up processes only files unseen by the checkpoint") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream")
+    val src = base.resolve("src").toString
+    val chk = base.resolve("chk").toString
+    val out = base.resolve("out").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("activity_id", "value")
+      .write.mode("append").parquet(src)
+    Streams.catchUp(spark, src, chk, out, schema,
+      df => df.withColumn("doubled", col("value") * 2))
+    assert(spark.read.parquet(out).count() === 2)
+    // second batch arrives; only IT is processed on the next invocation
+    Seq((3L, 30.0)).toDF("activity_id", "value")
+      .write.mode("append").parquet(src)
+    Streams.catchUp(spark, src, chk, out, schema,
+      df => df.withColumn("doubled", col("value") * 2))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3) // no reprocessing of batch 1
+    assert(rows.where("activity_id = 3").first().getAs[Double]("doubled") === 60.0)
+  }
+
+  test("streaming session windows collapse <=2s-gap events like the batch op") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(3)),  // one session: gaps 1, 2
+      (1L, ts(10)), (1L, ts(11)),             // second session
+      (2L, ts(5)))                            // separate key
+      .toDF("activity_id", "ts")
+    // session_window works identically over a batch frame — same operator,
+    // batch for assertion simplicity (streaming runtime covered above)
+    val sessions = Streams.sessionizeStream(events, "activity_id", "ts")
+      .orderBy("activity_id", "session_start").collect()
+    assert(sessions.length === 3)
+    assert(sessions.map(_.getAs[Long]("n_events")).toSeq === Seq(3L, 2L, 1L))
+  }
+
+  test("dedup stream drops exact (key, ts) duplicates") {
+    import spark.implicits._
+    val events = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(1)))
+      .toDF("activity_id", "ts")
+    assert(Streams.dedupStream(events, Seq("activity_id"), "ts").count() === 2)
+  }
+
+  private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
+}
