@@ -1,0 +1,84 @@
+package graft
+
+import graft.domain._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5.2 item 4) over the pure domain
+  * operators — cheap fuzzing of the rule surfaces the example-based specs
+  * pin pointwise.
+  */
+object DomainProperties extends Properties("graft.domain") {
+
+  private val pct = Gen.choose(-200.0, 200.0)
+
+  property("penalty is clamped to [0,100] for any metric/delta") =
+    forAll(Gen.oneOf("gct", "vo", "vr", "cadence"), pct) { (m, d) =>
+      val p = FormBaseline.penalty(m, d)
+      p >= 0.0 && p <= 100.0
+    }
+
+  property("score is clamped and consistency-bounded") =
+    forAll(pct, pct, pct) { (g, v, r) =>
+      val s = FormBaseline.score(g, v, r)
+      s.score >= 0.0 && s.score <= 100.0
+    }
+
+  property("star rating total: every penalty maps to exactly one band") =
+    forAll(Gen.choose(0.0, 100.0)) { p =>
+      val r = FormBaseline.starRating(p)
+      Set("excellent", "good", "average", "below_average", "poor")(r.category) &&
+        r.stars.length == 5
+    }
+
+  property("acwr risk is monotone and in [0,1]") =
+    forAll(Gen.choose(0.0, 5.0), Gen.choose(0.0, 5.0)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (ra, rb) = (InjuryRisk.acwrRisk(lo), InjuryRisk.acwrRisk(hi))
+      ra >= 0.0 && rb <= 1.0 && ra <= rb
+    }
+
+  property("injury fusion score in [0,100] with a defined band") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, w) =>
+      InjuryRisk.assess(Map("acwr" -> Some(a), "wellness" -> Some(w))).exists { r =>
+        r.score >= 0.0 && r.score <= 100.0 &&
+          Set("low", "moderate", "high")(r.band)
+      }
+    }
+
+  property("intensity estimation: total, label-closed, anchored ends") = {
+    val lapGen = Gen.zip(
+      Gen.option(Gen.choose(80.0, 200.0)), Gen.option(Gen.choose(150.0, 700.0)))
+    forAll(Gen.listOfN(12, lapGen).flatMap(l => Gen.choose(0, 12).map(l.take))) { laps =>
+      val out = graft.ingest.SplitsEnrich.estimateIntensity(laps)
+      val labels = Set("WARMUP", "COOLDOWN", "INTERVAL", "RECOVERY", "ACTIVE")
+      out.length == laps.length && out.forall(labels)
+    }
+  }
+
+  property("vdot race-time round trip within binary-search tolerance") =
+    forAll(Gen.choose(3.0, 21.0), Gen.choose(900L, 7200L)) { (km, secs) =>
+      val vdot = Vdot.vdotFromRace(km, secs)
+      // only physiologically sane fits invert cleanly
+      (vdot < 20 || vdot > 85) || {
+        val t = Vdot.predictRaceTime(vdot, km)
+        math.abs(t - secs) <= math.max(2L, secs / 200)
+      }
+    }
+
+  property("hrv streak never exceeds available nights; >=2 iff under-recovery") =
+    forAll(Gen.listOf(Gen.option(Gen.choose(20.0, 80.0)))) { ms =>
+      val nights = ms.map(m => (m, Some(45.0)))
+      val (streak, under) = Recovery.hrvStreak(nights)
+      streak <= nights.length && (under == (streak >= 2))
+    }
+
+  property("wellness band: adverse only with a low/high flag; z None iff insufficient") =
+    forAll(Gen.listOfN(12, Gen.option(Gen.choose(30.0, 70.0))),
+      Gen.option(Gen.choose(30.0, 70.0))) { (series, today) =>
+      val mb = Wellness.metricBaseline(series, today, "hrv")
+      val insufficient = mb.flag == "insufficient"
+      (mb.z.isEmpty == insufficient) &&
+        (!mb.adverse || mb.flag == "low")
+    }
+}
