@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** Facade over a miniature silver root — tool-shaped entry points stay
+  * thin wrappers over the operator/domain modules.
+  */
+class ApiSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-api").toString
+    Seq(
+      (100L, 1, "WARMUP", 1000.0, 400.0, 410.0, 135.0, 170.0, 250.0, "Zone 2", 8.0, 1.0, "平坦"),
+      (100L, 2, "INTERVAL", 1000.0, 280.0, 290.0, 165.0, 182.0, 238.0, "Zone 4", 9.0, 2.0, "平坦"),
+      (100L, 3, "RECOVERY", 1000.0, 500.0, 510.0, 140.0, 168.0, 255.0, "Zone 3", 8.2, 1.5, "平坦"),
+      (100L, 4, "INTERVAL", 1000.0, 285.0, 295.0, 172.0, 184.0, 246.0, "Zone 4", 9.1, 2.1, "平坦"),
+      (100L, 5, "COOLDOWN", 1000.0, 420.0, 430.0, 130.0, 160.0, 252.0, "Zone 2", 7.9, 0.8, "平坦"))
+      .toDF("activity_id", "split_index", "intensity_type", "distance",
+        "pace_seconds_per_km", "duration_seconds", "heart_rate", "max_heart_rate",
+        "ground_contact_time", "hr_zone", "vertical_oscillation", "elevation_gain",
+        "terrain_type")
+      .withColumn("cadence", lit(178.0))
+      .withColumn("stride_length", lit(95.0))
+      .withColumn("vertical_ratio", lit(8.0))
+      .withColumn("elevation_loss", lit(1.0))
+      .write.parquet(s"$d/splits")
+    (1 to 30).map { i =>
+      (java.sql.Date.valueOf(f"2026-06-$i%02d"), 10.0, "aerobic_base")
+    }.toDF("activity_date", "total_distance_km", "training_type")
+      .write.parquet(s"$d/activities")
+    (1 to 30).map { i =>
+      // HRV collapses below baseline the last two nights
+      val hrv = if (i >= 29) 38.0 else 50.0
+      (java.sql.Date.valueOf(f"2026-06-$i%02d"), 48.0, hrv, 45.0, 60, 70)
+    }.toDF("date", "resting_hr", "hrv_overnight", "hrv_baseline_low",
+        "readiness", "sleep_score")
+      .write.parquet(s"$d/daily_wellness")
+    d
+  }
+
+  private lazy val g = new Graft(spark, root)
+
+  test("splits groups: rows mode ordered, statistics_only aggregates to one row") {
+    assert(g.splits.paceHr(100L).count() === 5)
+    val stats = g.splits.paceHr(100L, statisticsOnly = true).collect()
+    assert(stats.length === 1) // the ~80% output-reduction contract
+    assert(stats.head.getAs[Long]("n_rows") === 5L)
+  }
+
+  test("interval analysis end-to-end through the facade") {
+    val segs = g.splits.intervalAnalysis(100L)
+    assert(segs.map(_.segmentType) ===
+      Seq("warmup", "work", "recovery", "work", "cooldown"))
+    val fatigue = graft.domain.Performance.detectFatigue(segs)
+    assert(fatigue.hrIncreaseBpm === 7.0) // 172 - 165
+    val rate = graft.domain.Performance.recoveryRate(segs(1), segs(2))
+    assert(rate.exists(r => math.abs(r - (165.0 - 140.0) / (510.0 / 60)) < 1e-9))
+  }
+
+  test("acwr over the daily-load frame classifies steady load as optimal") {
+    val last = g.trainingLoad.acwr().orderBy(desc("activity_date")).first()
+    assert(last.getAs[String]("zone") === "optimal")
+  }
+
+  test("recovery status: two HRV nights below baseline forces easy") {
+    assert(g.physiology.recoveryStatus() === "easy") // readiness 60 would be moderate
+  }
+
+  test("wellness deviation flags today's HRV collapse as adverse") {
+    val mb = g.physiology.wellnessDeviation("hrv_overnight", "low_is_bad")
+    assert(mb.flag === "low" && mb.adverse)
+  }
+
+  test("race readiness produces blended predictions for standard distances") {
+    val preds = g.fitness.raceReadiness(50.0, Seq((5.0, 1205L), (10.0, 2500L)))
+    assert(preds.keySet === Set("race_5k", "race_10k", "half", "full"))
+    assert(preds("race_5k").confidence === "high") // vdot 50 5k ~ 1200s, curve 1205
+  }
+
+  test("export via facade enforces the cap") {
+    val out = Files.createTempDirectory("graft-api-exp").toString
+    assert(g.export(g.table("splits"), s"$out/x", "csv") === 5L)
+    intercept[IllegalArgumentException] {
+      g.export(g.table("splits"), s"$out/y", "csv", maxRows = 2)
+    }
+  }
+}
