@@ -26,6 +26,28 @@ object TextOps {
 
   val entries: Seq[Q] = Seq(
 
+    // Keyword insight search (reference pkg/rag/queries/insights.py:33-240:
+    // substring search over payloads with limit/offset): case-insensitive
+    // containment + hit count, deterministic paging order. The filter is a
+    // plain predicate, so at scale it rides the scan (and would sit behind
+    // a bloom/ngram index in a real corpus store).
+    Q("q_keyword_search",
+      """SELECT doc_id, lang,
+        |  (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+        |    // length('merge') AS n_hits
+        |FROM documents
+        |WHERE contains(lower(text), 'merge')
+        |ORDER BY n_hits DESC, doc_id LIMIT 50 OFFSET 10""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(lower(col("text")).contains("merge"))
+        .select(col("doc_id"), col("lang"),
+          ((length(lower(col("text"))) -
+            length(regexp_replace(lower(col("text")), "merge", ""))) / 5L)
+            .cast("long").as("n_hits"))
+        .orderBy(desc("n_hits"), asc("doc_id"))
+        .offset(10).limit(50)
+    },
+
     Q("q_text_tokens",
       s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens,
