@@ -100,4 +100,57 @@ object SilverTables {
       joined.withColumn("intensity_category", refined),
       "hr_efficiency")
   }
+
+  /** form_evaluations: per-activity observation scored against the trained
+    * baselines (reference form_baseline/evaluator.py wiring:
+    * predictor expectations -> scorer deltas/penalties -> one row per
+    * activity). Model coefficients are driver-side scalars (they came out
+    * of the monthly trainer), so the scoring is pure column math — no
+    * collect of observations.
+    */
+  def formEvaluations(observations: DataFrame,
+      gct: graft.domain.FormBaseline.GctPowerModel,
+      vo: graft.domain.FormBaseline.LinearModel,
+      vr: graft.domain.FormBaseline.LinearModel,
+      evaluatedAt: java.sql.Timestamp): DataFrame = {
+    val speed = lit(1000.0) / col("pace_seconds_per_km")
+    // expectations from the models, inlined as column math
+    val gctExp = exp((log(speed) - lit(gct.alpha)) / lit(gct.d)) // predictInverse
+    val voExp = lit(vo.a) + lit(vo.b) * speed
+    val vrExp = lit(vr.a) + lit(vr.b) * speed
+    val gctDelta = (col("gct_ms") - gctExp) / gctExp * 100.0
+    val voDelta = (col("vo_cm") - voExp) / voExp * 100.0
+    val vrDelta = (col("vr_pct") - vrExp) / vrExp * 100.0
+    def penalty(delta: org.apache.spark.sql.Column, improveFactor: Double) = {
+      val factor = when(delta < 0, improveFactor).otherwise(1.0)
+      least(lit(100.0), greatest(lit(0.0), abs(delta) * factor * 10.0))
+    }
+    val pg = penalty(gctDelta, 0.3)
+    val pv = penalty(voDelta, 0.3)
+    val pr = penalty(vrDelta, 0.2)
+    val spreadMax = greatest(gctDelta, voDelta, vrDelta)
+    val spreadMin = least(gctDelta, voDelta, vrDelta)
+    val spread = spreadMax - spreadMin
+    val adjustment =
+      when(spreadMax <= 0,
+        least(lit(5.0), abs(gctDelta + voDelta + vrDelta) / 3.0 * 0.5))
+        .when(spread > 15.0, -10.0)
+        .when(spread > 10.0, -5.0)
+        .when(spread > 5.0, -2.0)
+        .otherwise(0.0)
+    val score = greatest(lit(0.0), least(lit(100.0),
+      lit(100.0) - (pg + pv + pr) / 3.0 + adjustment))
+    graft.Schemas.conform(
+      observations.select(
+        col("activity_id"),
+        lit(evaluatedAt).as("evaluated_at"),
+        gctDelta.as("gct_delta_pct"), pg.as("gct_penalty"),
+        voDelta.as("vo_delta_pct"), pv.as("vo_penalty"),
+        vrDelta.as("vr_delta_pct"), pr.as("vr_penalty"),
+        score.as("score"),
+        (pg > 20.0).as("gct_needs_improvement"),
+        (pv > 20.0).as("vo_needs_improvement"),
+        (pr > 20.0).as("vr_needs_improvement")),
+      "form_evaluations")
+  }
 }

@@ -69,4 +69,28 @@ class SilverTablesSpec extends SparkSpec {
     assert(row.isNullAt(out.schema.fieldIndex("precise_value")))
     intercept[IllegalArgumentException] { Schemas.conform(df, "nope") }
   }
+
+  test("form_evaluations: column-math scoring matches the scalar scorer") {
+    import spark.implicits._
+    import graft.domain.FormBaseline
+    val gct = FormBaseline.GctPowerModel(5.9, -0.8, 0.0, 60)
+    val vo = FormBaseline.LinearModel(7.0, 0.9, 0.0, 50)
+    val vr = FormBaseline.LinearModel(9.0, -0.5, 0.0, 50)
+    val obs = Seq((10L, 250.0, 230.0, 11.0, 7.5))
+      .toDF("activity_id", "pace_seconds_per_km", "gct_ms", "vo_cm", "vr_pct")
+    val row = SilverTables.formEvaluations(obs, gct, vo, vr,
+      java.sql.Timestamp.valueOf("2026-08-01 00:00:00")).first()
+    // recompute with the scalar domain scorer
+    val speed = 1000.0 / 250.0
+    val gctExp = gct.predictInverse(speed)
+    val voExp = vo.predict(speed)
+    val vrExp = vr.predict(speed)
+    val gd = (230.0 - gctExp) / gctExp * 100
+    val vd = (11.0 - voExp) / voExp * 100
+    val rd = (7.5 - vrExp) / vrExp * 100
+    val expected = FormBaseline.score(gd, vd, rd)
+    assert(math.abs(row.getAs[Float]("score") - expected.score) < 1e-4)
+    assert(row.getAs[Boolean]("vo_needs_improvement") === expected.voNeedsImprovement)
+    assert(math.abs(row.getAs[Float]("gct_penalty") - expected.gctPenalty) < 1e-4)
+  }
 }
