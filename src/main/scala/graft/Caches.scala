@@ -1,0 +1,63 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for session-scoped persisted frames (the shingle/vector/profile
+  * histograms that several queries reference repeatedly — see the measured
+  * CollapseProject trap notes in operators/Dedup.scala).
+  *
+  * Keys embed a source fingerprint ([[fingerprint]]) so a long-lived session
+  * re-reading a directory whose parquet files were rewritten gets a fresh
+  * frame instead of stale cached data, and [[clear]] unpersists everything —
+  * the lifecycle guard the round-1 ADVICE asked for (TrieMaps that never
+  * invalidate or unpersist).
+  */
+object Caches {
+
+  private val frames = TrieMap.empty[String, DataFrame]
+  private val values = TrieMap.empty[String, Any]
+
+  /** Memoize a driver-side computed value (e.g. the exact medians a profile
+    * call derives from its persisted histogram) under `key`.
+    */
+  def memo[T](key: String)(mk: => T): T =
+    values.getOrElseUpdate(key, mk).asInstanceOf[T]
+
+  /** Memoize a persisted frame under `key`; the caller's `mk` must already
+    * call `.persist()` (this registry manages lifetime, not storage level).
+    */
+  def getOrElseUpdate(key: String, mk: => DataFrame): DataFrame =
+    frames.getOrElseUpdate(key, mk)
+
+  /** Unpersist and forget every registered frame (idempotent; safe while
+    * queries are not running). Call between runs or before session stop.
+    */
+  def clear(): Unit = synchronized {
+    frames.foreach { case (_, df) =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    frames.clear()
+    values.clear()
+  }
+
+  /** Cheap content fingerprint of a data directory: file count + max
+    * modification time + total bytes via the Hadoop FileSystem API, so cache
+    * keys change when the underlying parquet is rewritten.
+    */
+  def fingerprint(spark: SparkSession, dir: String): String = {
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L; var maxMod = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        n += 1; bytes += st.getLen
+        if (st.getModificationTime > maxMod) maxMod = st.getModificationTime
+      }
+      s"$n:$maxMod:$bytes"
+    } catch { case _: Exception => "na" }
+  }
+}
