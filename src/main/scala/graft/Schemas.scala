@@ -63,18 +63,43 @@ object Schemas {
     "vertical_ratio" -> DoubleType, "elevation" -> DoubleType,
     "air_temperature" -> DoubleType, "sum_distance" -> DoubleType)
 
-  val performanceTrends: StructType = s(
-    "activity_id" -> LongType, "workout_structure" -> StringType,
-    "hr_drift_percentage" -> DoubleType, "pace_consistency" -> DoubleType,
-    "pace_consistency_full" -> DoubleType)
+  val performanceTrends: StructType = {
+    val phaseCols = Seq("warmup", "run", "recovery", "cooldown").flatMap { p =>
+      Seq(s"${p}_splits" -> (StringType: DataType),
+        s"${p}_avg_pace_seconds_per_km" -> (DoubleType: DataType),
+        s"${p}_avg_pace_str" -> (StringType: DataType),
+        s"${p}_avg_hr" -> (DoubleType: DataType),
+        s"${p}_avg_cadence" -> (DoubleType: DataType),
+        s"${p}_avg_power" -> (DoubleType: DataType),
+        s"${p}_evaluation" -> (StringType: DataType))
+    }
+    s(Seq(
+      "activity_id" -> (LongType: DataType),
+      "workout_structure" -> (StringType: DataType),
+      "hr_drift_percentage" -> (DoubleType: DataType),
+      "pace_consistency" -> (DoubleType: DataType),
+      "cadence_consistency" -> (StringType: DataType),
+      "fatigue_pattern" -> (StringType: DataType)) ++ phaseCols :+
+      ("pace_consistency_full" -> (DoubleType: DataType)): _*)
+  }
 
+  /** Full reference contract (duckdb_schema_mapping.md §6 generated
+    * schema): per metric avg/min/max/std + star rating + evaluation text;
+    * gct_variability = std/avg·100; vo_trend is the consistency narrative.
+    */
   val formEfficiency: StructType = s(
     "activity_id" -> LongType,
-    "avg_ground_contact_time" -> DoubleType, "min_ground_contact_time" -> DoubleType,
-    "max_ground_contact_time" -> DoubleType, "std_ground_contact_time" -> DoubleType,
-    "avg_vertical_oscillation" -> DoubleType, "min_vertical_oscillation" -> DoubleType,
-    "max_vertical_oscillation" -> DoubleType, "std_vertical_oscillation" -> DoubleType,
-    "avg_vertical_ratio" -> DoubleType, "vo_trend" -> StringType)
+    "gct_average" -> DoubleType, "gct_min" -> DoubleType,
+    "gct_max" -> DoubleType, "gct_std" -> DoubleType,
+    "gct_variability" -> DoubleType, "gct_rating" -> StringType,
+    "gct_evaluation" -> StringType,
+    "vo_average" -> DoubleType, "vo_min" -> DoubleType,
+    "vo_max" -> DoubleType, "vo_std" -> DoubleType,
+    "vo_trend" -> StringType, "vo_rating" -> StringType,
+    "vo_evaluation" -> StringType,
+    "vr_average" -> DoubleType, "vr_min" -> DoubleType,
+    "vr_max" -> DoubleType, "vr_std" -> DoubleType,
+    "vr_rating" -> StringType, "vr_evaluation" -> StringType)
 
   val formEvaluations: StructType = s(
     "activity_id" -> LongType, "evaluated_at" -> TimestampType,
@@ -109,11 +134,19 @@ object Schemas {
     "activity_id" -> LongType, "activity_date" -> DateType,
     "speed_mps" -> DoubleType, "heart_rate_bpm" -> DoubleType)
 
+  /** Reference daily_wellness (duckdb_schema_mapping.md §21). Two column
+    * names deviate deliberately and are kept stable for the API surface:
+    * hrv_overnight (ref: hrv_overnight_ms) and readiness
+    * (ref: training_readiness).
+    */
   val dailyWellness: StructType = s(
     "date" -> DateType, "resting_hr" -> DoubleType,
-    "hrv_overnight" -> DoubleType, "hrv_baseline_low" -> DoubleType,
-    "hrv_baseline_high" -> DoubleType, "readiness" -> IntegerType,
-    "sleep_score" -> IntegerType, "body_battery_high" -> IntegerType)
+    "hrv_overnight" -> DoubleType, "hrv_status" -> StringType,
+    "hrv_baseline_low" -> DoubleType, "hrv_baseline_high" -> DoubleType,
+    "sleep_seconds" -> IntegerType, "sleep_score" -> IntegerType,
+    "readiness" -> IntegerType, "body_battery_high" -> IntegerType,
+    "body_battery_low" -> IntegerType, "stress_avg" -> IntegerType,
+    "source" -> StringType)
 
   /** Append-only versioned JSON-payload tables share one shape
     * (section_analyses / trend_analyses / weekly_reviews /
@@ -125,9 +158,76 @@ object Schemas {
     "created_at" -> TimestampType, "payload_json" -> StringType)
 
   val athleteProfile: StructType = s(
-    "user_id" -> StringType, "week_start_day" -> IntegerType,
+    "user_id" -> StringType, "current_focus" -> StringType,
+    "focus_notes" -> StringType, "week_start_day" -> IntegerType,
+    "updated_at" -> TimestampType,
+    // engine-side extras consumed by the domain layer (not in the
+    // reference profile DDL, which keeps weight in body_composition)
     "weight_kg" -> DoubleType, "max_hr" -> IntegerType,
     "resting_hr" -> IntegerType)
+
+  // -------- athlete / operations tables (duckdb_schema_mapping.md §17-24).
+  // Surrogate PKs (goal_id, retro_id, review_id, analysis_id, run_id) are
+  // kept here, unlike the per-activity tables: they ARE the documented
+  // ordering/identity keys for these append-style tables (e.g. goal
+  // selection orders by goal_id DESC).
+
+  val athleteGoals: StructType = s(
+    "goal_id" -> IntegerType, "user_id" -> StringType,
+    "race_name" -> StringType, "race_date" -> DateType,
+    "priority" -> StringType, "goal_type" -> StringType,
+    "distance_km" -> DoubleType, "target_time_seconds" -> IntegerType,
+    "status" -> StringType, "notes" -> StringType,
+    "created_at" -> TimestampType, "updated_at" -> TimestampType)
+
+  val seasonRetrospectives: StructType = s(
+    "retro_id" -> IntegerType, "user_id" -> StringType,
+    "season_label" -> StringType, "period_start" -> DateType,
+    "period_end" -> DateType, "narrative" -> StringType,
+    "key_learnings" -> StringType, "created_at" -> TimestampType)
+
+  val weeklyReviews: StructType = s(
+    "review_id" -> IntegerType, "user_id" -> StringType,
+    "week_start_date" -> DateType, "week_end_date" -> DateType,
+    "review_date" -> DateType, "review_data" -> StringType,
+    "created_at" -> TimestampType, "agent_name" -> StringType,
+    "agent_version" -> StringType)
+
+  /** category_counts is the raw JSON text on disk (DuckDB JSON column);
+    * readers parse it with from_json(MapType) — see
+    * ingest.StrengthSessions.
+    */
+  val strengthSessions: StructType = s(
+    "activity_id" -> LongType, "activity_date" -> DateType,
+    "start_time_local" -> TimestampType, "activity_name" -> StringType,
+    "active_duration_seconds" -> IntegerType,
+    "elapsed_duration_seconds" -> IntegerType,
+    "avg_heart_rate" -> IntegerType, "max_heart_rate" -> IntegerType,
+    "calories" -> IntegerType, "active_sets" -> IntegerType,
+    "total_sets" -> IntegerType, "category_counts" -> StringType,
+    "ingested_at" -> TimestampType)
+
+  val sectionAnalyses: StructType = s(
+    "analysis_id" -> IntegerType, "activity_id" -> LongType,
+    "activity_date" -> DateType, "section_type" -> StringType,
+    "analysis_data" -> StringType, "created_at" -> TimestampType,
+    "agent_name" -> StringType, "agent_version" -> StringType,
+    "run_id" -> LongType)
+
+  val trendAnalyses: StructType = s(
+    "analysis_id" -> IntegerType, "user_id" -> StringType,
+    "granularity" -> StringType, "period_start" -> DateType,
+    "period_end" -> DateType, "analysis_data" -> StringType,
+    "created_at" -> TimestampType, "agent_name" -> StringType,
+    "agent_version" -> StringType)
+
+  val syncRuns: StructType = s(
+    "run_id" -> IntegerType, "started_at" -> TimestampType,
+    "finished_at" -> TimestampType, "domains" -> StringType,
+    "results" -> StringType, "status" -> StringType)
+
+  val analysisRuns: StructType = s(
+    "run_id" -> LongType, "started_at" -> TimestampType)
 
   val all: Map[String, StructType] = Map(
     "activities" -> activities, "body_composition" -> bodyComposition,
@@ -139,7 +239,15 @@ object Schemas {
     "hr_efficiency" -> hrEfficiency, "heart_rate_zones" -> heartRateZones,
     "vo2_max" -> vo2Max, "lactate_threshold" -> lactateThreshold,
     "daily_wellness" -> dailyWellness,
-    "athlete_profile" -> athleteProfile)
+    "athlete_profile" -> athleteProfile,
+    "athlete_goals" -> athleteGoals,
+    "season_retrospectives" -> seasonRetrospectives,
+    "weekly_reviews" -> weeklyReviews,
+    "strength_sessions" -> strengthSessions,
+    "section_analyses" -> sectionAnalyses,
+    "trend_analyses" -> trendAnalyses,
+    "sync_runs" -> syncRuns,
+    "analysis_runs" -> analysisRuns)
 
   /** Project + cast a frame to a table's contract. Missing columns become
     * typed nulls (the reference's nullable-by-default DDL); extra columns

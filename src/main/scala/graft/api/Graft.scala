@@ -144,7 +144,8 @@ final class Graft(val spark: SparkSession, root: String) {
   /** Fitness / race tools. */
   object fitness {
     def currentFitnessSummary(asOf: java.sql.Date): FitnessAssessor.Assessment =
-      FitnessAssessor.assess(spark, table("activities"), asOf)
+      FitnessAssessor.assess(spark, table("activities"), asOf,
+        weekStartDay = weekStartDay())
 
     /** get_race_readiness: blended predictions per standard distance. */
     def raceReadiness(vdot: Double,
@@ -154,6 +155,84 @@ final class Graft(val spark: SparkSession, root: String) {
           RacePrediction.predict(Some(Vdot.predictRaceTime(vdot, km)),
             curveBuckets, km).map(key -> _)
         }
+
+    /** Goal side of get_race_readiness (race.py:134-229): the active goal
+      * from athlete_goals plus the predicted-vs-target progress block.
+      */
+    def goalProgress(vdot: Double, today: java.time.LocalDate,
+        userId: String = "default"): Option[(RaceGoal.Goal, Option[RaceGoal.Progress])] =
+      RaceGoal.activeGoalFor(table("athlete_goals"), userId, today.toString)
+        .map(g => g -> RaceGoal.progress(vdot, g, today))
+  }
+
+  /** The athlete's configured week start (athlete_profile.week_start_day,
+    * Monday fallback) — the single week definition every weekly bucket in
+    * this façade shares (reference utils/week.py).
+    */
+  def weekStartDay(userId: String = "default"): Int =
+    try Aggregates.weekStartDayOf(table("athlete_profile"), userId)
+    catch { case _: org.apache.spark.sql.AnalysisException => 0 }
+
+  /** Trend tools (web/queries/trends.py): weekly/monthly volume honouring
+    * the configured week start.
+    */
+  object trends {
+    def weeklyVolume(userId: String = "default"): DataFrame =
+      Aggregates.weekBucketCfg(table("activities"), "activity_date",
+        "total_distance_km", weekStartDay(userId))
+        .withColumnRenamed("total_v", "load_km")
+        .orderBy("week_start")
+
+    def monthlyVolume(): DataFrame =
+      Aggregates.monthBucket(table("activities"), "activity_date",
+        "total_distance_km").orderBy("month")
+  }
+
+  /** compare_similar_runs (rag/queries/comparisons.py): candidate band +
+    * the full weighted similarity score + Japanese interpretation. The
+    * reference's per-activity weather lookup has no silver table here, so
+    * temperature context is null (the interpretation omits it, exactly the
+    * no-temp-data branch).
+    */
+  object comparisons {
+    def findSimilarWorkouts(activityId: Long, paceTolerance: Double = 0.2,
+        distanceTolerance: Double = 0.2, limit: Int = 10): DataFrame = {
+      val acts = table("activities").select(
+        col("activity_id"), col("activity_date"), col("activity_name"),
+        when(col("average_speed") > 0, lit(1000.0) / col("average_speed"))
+          .as("avg_pace"),
+        col("avg_heart_rate"), col("total_distance_km"),
+        coalesce(lower(col("training_type")), lit("unknown")).as("ttype"))
+      val target = broadcast(acts.where(col("activity_id") === activityId)
+        .select(col("avg_pace").as("t_pace"),
+          col("avg_heart_rate").as("t_hr"),
+          col("total_distance_km").as("t_dist"),
+          col("ttype").as("t_type")))
+      acts.where(col("activity_id") =!= activityId)
+        .crossJoin(target)
+        .where(col("avg_pace").between(
+            col("t_pace") * (1 - paceTolerance),
+            col("t_pace") * (1 + paceTolerance)) &&
+          col("total_distance_km").between(
+            col("t_dist") * (1 - distanceTolerance),
+            col("t_dist") * (1 + distanceTolerance)))
+        .withColumn("similarity_score",
+          bround(graft.operators.Joins.similarityScore(
+            col("t_pace"), col("avg_pace"),
+            col("t_dist"), col("total_distance_km"),
+            col("t_type"), col("ttype")), 1))
+        .withColumn("pace_diff", bround(col("avg_pace") - col("t_pace"), 1))
+        .withColumn("hr_diff",
+          bround(when(col("avg_heart_rate").isNotNull && col("t_hr").isNotNull,
+            col("avg_heart_rate") - col("t_hr")).otherwise(0.0), 1))
+        .withColumn("interpretation", Labels.comparisonInterpretation(
+          col("pace_diff"), col("hr_diff"), lit(null).cast("double")))
+        .orderBy(abs(col("avg_pace") - col("t_pace")).asc,
+          col("activity_date").desc, col("activity_id").asc)
+        .limit(limit)
+        .select("activity_id", "activity_date", "activity_name",
+          "similarity_score", "pace_diff", "hr_diff", "interpretation")
+    }
   }
 
   /** Time-series tools (z-anomalies come from domain.FormAnomaly over the

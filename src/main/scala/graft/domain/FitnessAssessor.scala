@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object FitnessAssessor {
 
+  // Python round() half-even, on the exact double (see Wellness.roundHalfEven)
+  private def round1(v: Double): Double =
+    new java.math.BigDecimal(v)
+      .setScale(1, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
   final case class Assessment(
       eightWeekKm: Double,
       runsPerWeek: Double,
@@ -23,50 +28,61 @@ object FitnessAssessor {
 
   /** `activities` columns: activity_date (date), total_distance_km,
     * training_type. `asOf` bounds the analysis (inclusive).
+    *
+    * Gap + baseline semantics follow fitness_assessor.py:61-131 (ADVICE r1):
+    * the LARGEST >= 7-day gap within the lookback window wins — the scan
+    * keeps a gap only when `gap_days > 7 * gap_weeks_so_far`, so a later
+    * equal gap overrides unless the gap is an exact multiple of 7 — and the
+    * pre-gap baseline takes activities in [asOf − 24 weeks, gap_end),
+    * bucketed by the CONFIGURED week start (utils/week.py), summed with
+    * null distances as 0, then the median rounded to 1 dp.
     */
   def assess(spark: SparkSession, activities: DataFrame,
-      asOf: java.sql.Date): Assessment = {
+      asOf: java.sql.Date, lookbackWeeks: Int = 8,
+      weekStartDay: Int = 0): Assessment = {
     val upTo = activities.where(col("activity_date") <= lit(asOf)).cache()
     try {
-      val eightWeeksAgo = date_sub(lit(asOf), 7 * 8)
+      val cutoff = date_sub(lit(asOf), 7 * lookbackWeeks)
 
-      val recent = upTo.where(col("activity_date") > eightWeeksAgo)
+      val recent = upTo.where(col("activity_date") > cutoff)
       val recentRow = recent.agg(
         coalesce(sum("total_distance_km"), lit(0.0)).as("km"),
         count(lit(1)).as("n")).head()
       val eightWeekKm = recentRow.getAs[Double]("km")
-      val runsPerWeek = recentRow.getAs[Long]("n") / 8.0
+      val runsPerWeek = recentRow.getAs[Long]("n") / lookbackWeeks.toDouble
 
-      // latest >= 7-day inter-run gap (any recency; the baseline below is
-      // what's bounded to 24 weeks before the gap)
-      val w = Window.orderBy("activity_date")
-      val gaps = upTo.select(col("activity_date"))
-        .distinct()
-        .withColumn("prev", lag("activity_date", 1).over(w))
-        .withColumn("gap", datediff(col("activity_date"), col("prev")))
-        .where(col("gap") >= 7)
-        .orderBy(desc("activity_date"))
-        .limit(1)
-        .collect()
-        .headOption
-
-      val (latestGapDays, preGapMedian) = gaps match {
-        case None => (None, None)
-        case Some(row) =>
-          val gapEnd = row.getAs[java.sql.Date]("activity_date")
-          val gapStart = row.getAs[java.sql.Date]("prev")
-          val weekly = upTo
-            .where(col("activity_date") <= lit(gapStart) &&
-              col("activity_date") > date_sub(lit(gapStart), 7 * 24))
-            .groupBy(weekofyear(col("activity_date")).as("wk"),
-              year(col("activity_date")).as("yr"))
-            .agg(sum("total_distance_km").as("wkm"))
-          val med = weekly.agg(median(col("wkm"))).head().get(0)
-          (Some(row.getAs[Int]("gap")),
-            Option(med).map(_.asInstanceOf[Double]))
+      // Distinct window dates are bounded by the lookback span (≤ 7·weeks
+      // rows) — the sequential keep-the-largest scan runs on the driver,
+      // exactly like the reference's loop, on a provably bounded set.
+      val dates = recent.select(col("activity_date")).distinct()
+        .orderBy("activity_date").collect()
+        .map(_.getAs[java.sql.Date]("activity_date"))
+      var gapWeeks = 0
+      var gapEnd: Option[java.sql.Date] = None
+      var gapDays: Option[Int] = None
+      for (i <- 1 until dates.length) {
+        val g = ((dates(i).getTime - dates(i - 1).getTime) /
+          (24L * 3600 * 1000)).toInt
+        if (g >= 7 && g > gapWeeks * 7) {
+          gapWeeks = g / 7
+          gapEnd = Some(dates(i))
+          gapDays = Some(g)
+        }
       }
 
-      val dist = upTo.where(col("activity_date") > eightWeeksAgo)
+      val preGapMedian = gapEnd.flatMap { end =>
+        val weekly = upTo
+          .where(col("activity_date") >= date_sub(lit(asOf), 7 * 24) &&
+            col("activity_date") < lit(end))
+          .groupBy(graft.operators.Aggregates
+            .weekStartCol(col("activity_date"), weekStartDay).as("week_start"))
+          .agg(sum(coalesce(col("total_distance_km"), lit(0.0))).as("wkm"))
+        val med = weekly.agg(median(col("wkm"))).head().get(0)
+        Option(med).map(m => round1(m.asInstanceOf[Double]))
+      }
+      val latestGapDays = gapDays
+
+      val dist = upTo.where(col("activity_date") > cutoff)
         .groupBy("training_type").count().collect()
       val total = dist.map(_.getAs[Long]("count")).sum.toDouble
       val typeDist =

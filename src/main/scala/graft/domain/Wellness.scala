@@ -17,8 +17,16 @@ object Wellness {
       std: Option[Double], today: Option[Double], z: Option[Double],
       flag: String, adverse: Boolean, n: Int)
 
-  private def round1(v: Double) = math.round(v * 10) / 10.0
-  private def round2(v: Double) = math.round(v * 100) / 100.0
+  // Python round() is banker's (half-even) rounding — math.round (half-up)
+  // diverged by one last digit at exact .X5 boundaries (ADVICE r1). The
+  // exact-binary BigDecimal constructor (not valueOf) matches Python, which
+  // rounds the exact double value: round(2.675, 2) == 2.67 because 2.675
+  // is stored below the midpoint.
+  private def roundHalfEven(v: Double, scale: Int): Double =
+    new java.math.BigDecimal(v)
+      .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+  private def round1(v: Double) = roundHalfEven(v, 1)
+  private def round2(v: Double) = roundHalfEven(v, 2)
 
   /** Position today's value in the band built from the past window
     * (today excluded). direction: "low_is_bad" (HRV/readiness) or

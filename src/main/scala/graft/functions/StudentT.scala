@@ -50,8 +50,13 @@ object StudentT {
     * (the reference's minimum-points gate, trends.py:118-122).
     */
   def corrPValue(r: Column, n: Column): Column = {
+    import org.apache.spark.sql.functions.when
     val dfree = n.cast("double") - 2.0
-    val t = r * org.apache.spark.sql.functions.sqrt(dfree / (lit(1.0) - r * r))
-    lit(2.0) * tSf(colAbs(t), dfree)
+    val t = r * org.apache.spark.sql.functions.sqrt(
+      dfree / (lit(1.0) - r * r))
+    // |r| = 1 (an exactly-linear series): t -> ∞, p -> 0 — the division
+    // guard matters under ANSI mode, where 1/(1-r²) would throw.
+    when(r * r >= 1.0, lit(0.0))
+      .otherwise(lit(2.0) * tSf(colAbs(t), dfree))
   }
 }

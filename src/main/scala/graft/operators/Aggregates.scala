@@ -115,6 +115,42 @@ object Aggregates {
     df.groupBy(to_date(date_trunc("week", col(tsCol))).as("week_start"))
       .agg(sum(col(valueCol)).as("total_v"), count(lit(1)).as("n_rows"))
 
+  /** Week start with a configurable start day (reference pkg/utils/week.py:
+    * `offset = (d.weekday() - start_day) % 7; start = d - offset`, start_day
+    * 0=Monday … 6=Sunday in Python weekday convention). Spark's dayofweek is
+    * 1=Sunday … 7=Saturday, so weekday = (dayofweek + 5) % 7 and the offset
+    * simplifies to (dayofweek + 5 - startDay) % 7, which is non-negative for
+    * startDay in 0..6 — no sign fix-up needed. Pure date arithmetic: stays
+    * inside whole-stage codegen and groups with one hash exchange.
+    */
+  def weekStartCol(dateCol: Column, startDay: Int): Column = {
+    require(startDay >= 0 && startDay <= 6,
+      s"week start day must be 0..6 (0=Monday), got $startDay")
+    val d = to_date(dateCol)
+    date_sub(d, (dayofweek(d) + lit(5) - lit(startDay)) % 7)
+  }
+
+  /** Calendar week bucket honouring the athlete's configured week start
+    * (reference web/queries/trends.py:102-111 routes every volume-trend
+    * chart through week_start(d, week_start_day)).
+    */
+  def weekBucketCfg(df: DataFrame, tsCol: String, valueCol: String,
+      startDay: Int): DataFrame =
+    df.groupBy(weekStartCol(col(tsCol), startDay).as("week_start"))
+      .agg(sum(col(valueCol)).as("total_v"), count(lit(1)).as("n_rows"))
+
+  /** Read the configured week-start day from an athlete_profile frame
+    * (reference pkg/utils/week.py get_week_start_day): falls back to Monday
+    * (0) when the row or the column value is absent. The profile is a
+    * 1-row-per-user table — the collect is bounded by the user count.
+    */
+  def weekStartDayOf(profile: DataFrame, userId: String = "default"): Int =
+    profile.filter(col("user_id") === userId)
+      .select(col("week_start_day").cast("int"))
+      .collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(0)
+
   /** Conditional-halves aggregation (cardiac-decoupling shape): one pass
     * computing avg(value) for each temporal half of every group, split at
     * the group's timestamp midpoint. Two aggregations total; the per-group
@@ -452,6 +488,18 @@ object Aggregates {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       weekBucket(Tables.orders(s, d), "o_orderdate", "o_totalprice")
         .orderBy("week_start")
+    },
+
+    // Sunday-start week bucket (startDay=6 in the Python weekday convention).
+    // DuckDB's isodow is 1=Monday … 7=Sunday → weekday = isodow - 1 and the
+    // reference offset (weekday - start) % 7 becomes (isodow + 6 - start) % 7.
+    Q("q_week_bucket_cfg",
+      """SELECT CAST(o_orderdate AS DATE)
+        |    - CAST((isodow(o_orderdate) + 6 - 6) % 7 AS INTEGER) AS week_start,
+        |  sum(o_totalprice) AS total_v, count(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      weekBucketCfg(Tables.orders(s, d), "o_orderdate", "o_totalprice",
+        startDay = 6).orderBy("week_start")
     },
 
     Q("q_decoupling_halves",

@@ -131,6 +131,95 @@ object Joins {
 
   // ---------------------------------------------------------------- queries
 
+  /** The reference's 7 training-intensity levels in progression order
+    * (comparisons.py:36-38).
+    */
+  val TrainingTypes: Seq[String] = Seq("recovery", "aerobic_base", "tempo",
+    "lactate_threshold", "vo2max", "anaerobic_capacity", "speed")
+
+  /** Hierarchical training-type similarity matrix
+    * (comparisons.py:39-77). Keys are the two type names sorted
+    * alphabetically and joined with '|' (the reference sorts the tuple for
+    * symmetric lookup); absent combinations default to 0.3
+    * (comparisons.py:104).
+    */
+  val TrainingTypeSimilarity: Map[String, Double] = Map(
+    "recovery|recovery" -> 1.0,
+    "aerobic_base|recovery" -> 0.6,
+    "recovery|tempo" -> 0.3,
+    "lactate_threshold|recovery" -> 0.2,
+    "recovery|vo2max" -> 0.2,
+    "anaerobic_capacity|recovery" -> 0.2,
+    "recovery|speed" -> 0.2,
+    "aerobic_base|aerobic_base" -> 1.0,
+    "aerobic_base|tempo" -> 0.5,
+    "aerobic_base|lactate_threshold" -> 0.3,
+    "aerobic_base|vo2max" -> 0.2,
+    "aerobic_base|anaerobic_capacity" -> 0.2,
+    "aerobic_base|speed" -> 0.2,
+    "tempo|tempo" -> 1.0,
+    "lactate_threshold|tempo" -> 0.8,
+    "tempo|vo2max" -> 0.4,
+    "anaerobic_capacity|tempo" -> 0.3,
+    "speed|tempo" -> 0.2,
+    "lactate_threshold|lactate_threshold" -> 1.0,
+    "lactate_threshold|vo2max" -> 0.6,
+    "anaerobic_capacity|lactate_threshold" -> 0.4,
+    "lactate_threshold|speed" -> 0.3,
+    "vo2max|vo2max" -> 1.0,
+    "anaerobic_capacity|vo2max" -> 0.8,
+    "speed|vo2max" -> 0.5,
+    "anaerobic_capacity|anaerobic_capacity" -> 1.0,
+    "anaerobic_capacity|speed" -> 0.7,
+    "speed|speed" -> 1.0,
+    "unknown|unknown" -> 1.0)
+
+  /** Symmetric matrix lookup as a column: sort the two types, probe the
+    * literal map, default 0.3 (comparisons.py:79-104). A map literal probe —
+    * no join, no UDF, stays in codegen.
+    */
+  def trainingTypeSimilarityCol(t1: Column, t2: Column): Column =
+    coalesce(
+      element_at(typedLit(TrainingTypeSimilarity),
+        concat_ws("|", least(t1, t2), greatest(t1, t2))),
+      lit(0.3))
+
+  /** Weighted similarity score (comparisons.py:415-453): pace 45% +
+    * distance 35% + training type 20%, the numeric terms as
+    * 1 - |Δ|/target, clamped to [0, 100].
+    */
+  def similarityScore(targetPace: Column, candPace: Column,
+      targetDist: Column, candDist: Column,
+      targetType: Column, candType: Column): Column = {
+    val paceS = lit(1.0) - abs(candPace - targetPace) / targetPace
+    val distS = lit(1.0) - abs(candDist - targetDist) / targetDist
+    val typeS = trainingTypeSimilarityCol(targetType, candType)
+    least(lit(100.0), greatest(lit(0.0),
+      (paceS * 0.45 + distS * 0.35 + typeS * 0.20) * 100.0))
+  }
+
+  /** Deterministic training-type assignment for the synthetic star schema:
+    * key % 7 indexes the 7 intensity levels.
+    */
+  private def trainingTypeOf(key: Column): Column =
+    element_at(typedLit(TrainingTypes), (key % 7).cast("int") + 1)
+
+  /** DuckDB rendering of [[trainingTypeOf]] for the oracle SQL. */
+  private val typeSqlCase: String =
+    "CASE CAST(o.o_orderkey % 7 AS INTEGER) " +
+      TrainingTypes.zipWithIndex.dropRight(1)
+        .map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ") +
+      s" ELSE '${TrainingTypes.last}' END"
+
+  /** DuckDB rendering of [[trainingTypeSimilarityCol]] for the oracle SQL —
+    * generated from the same map so the two dialects cannot drift.
+    */
+  private val matrixSqlCase: String =
+    "CASE concat(least(c.ttype, t.ttype), '|', greatest(c.ttype, t.ttype)) " +
+      TrainingTypeSimilarity.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+      " ELSE 0.3 END"
+
   val entries: Seq[Q] = Seq(
     Q("q_join_agg",
       """SELECT c.c_mktsegment, sum(o.o_totalprice) AS total_v,
@@ -250,6 +339,58 @@ object Joins {
           col("o_orderdate").desc, col("o_orderkey").asc)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .limit(20)
+    },
+
+    // Full weighted similarity score over the candidate band (reference
+    // comparisons.py:141-267 band + :415-453 score). Proxies on the star
+    // schema: pace = o_totalprice, distance = Σ l_quantity per order,
+    // training type = the 7 intensity levels keyed by o_orderkey % 7. The
+    // target is the lowest-orderkey row (CTE, not a magic constant).
+    Q("q_similarity_score",
+      s"""WITH dist AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS dist_v
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice AS pace_v,
+        |    d.dist_v, $typeSqlCase AS ttype
+        |  FROM orders o JOIN dist d ON o.o_orderkey = d.l_orderkey),
+        |tgt AS (SELECT * FROM base ORDER BY o_orderkey LIMIT 1)
+        |SELECT c.o_orderkey,
+        |  least(100.0, greatest(0.0,
+        |    ((1.0 - abs(c.pace_v - t.pace_v) / t.pace_v) * 0.45 +
+        |     (1.0 - abs(c.dist_v - t.dist_v) / t.dist_v) * 0.35 +
+        |     $matrixSqlCase * 0.20) * 100.0)) AS similarity_score,
+        |  c.pace_v - t.pace_v AS pace_diff
+        |FROM base c, tgt t
+        |WHERE c.o_orderkey != t.o_orderkey
+        |  AND c.pace_v BETWEEN t.pace_v * 0.8 AND t.pace_v * 1.2
+        |  AND c.dist_v BETWEEN t.dist_v * 0.8 AND t.dist_v * 1.2
+        |ORDER BY abs(c.pace_v - t.pace_v) ASC, c.o_orderdate DESC,
+        |  c.o_orderkey ASC
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val dist = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").as("dist_v"))
+      val base = Tables.orders(s, d)
+        .join(dist, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").as("pace_v"), col("dist_v"),
+          trainingTypeOf(col("o_orderkey")).as("ttype"))
+      val tgt = broadcast(base.orderBy("o_orderkey").limit(1).select(
+        col("o_orderkey").as("t_key"), col("pace_v").as("t_pace"),
+        col("dist_v").as("t_dist"), col("ttype").as("t_type")))
+      base.crossJoin(tgt)
+        .filter(col("o_orderkey") =!= col("t_key") &&
+          col("pace_v").between(col("t_pace") * 0.8, col("t_pace") * 1.2) &&
+          col("dist_v").between(col("t_dist") * 0.8, col("t_dist") * 1.2))
+        .withColumn("similarity_score",
+          similarityScore(col("t_pace"), col("pace_v"), col("t_dist"),
+            col("dist_v"), col("t_type"), col("ttype")))
+        .withColumn("pace_diff", col("pace_v") - col("t_pace"))
+        .orderBy(abs(col("pace_v") - col("t_pace")).asc,
+          col("o_orderdate").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "similarity_score", "pace_diff")
     }
   )
+
 }

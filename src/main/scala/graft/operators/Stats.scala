@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.StudentT
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,135 @@ object Stats {
         when(col("term") === "intercept", lit(null).cast("double"))
           .otherwise(element_at(
             typedLit(xCols.zip(vifs).toMap), col("term"))))
+  }
+
+  // ------------------------------------------------- heat-adjustment chain
+
+  /** Heat hinge `max(temp - ref, 0)` (heat_adjustment.py:38-44): no heat
+    * penalty below the reference temperature.
+    */
+  def heatHinge(tempC: Column, refTempC: Double = 15.0): Column =
+    greatest(tempC - refTempC, lit(0.0))
+
+  /** 3×3 determinant, first-row expansion, as a shared SQL fragment. The
+    * SAME string is `expr()`-ed on the Spark side and spliced into the
+    * DuckDB oracle, so the two dialects evaluate the identical arithmetic
+    * shape — bit-equal betas given bit-equal covariances.
+    */
+  private def det3(a1: String, a2: String, a3: String,
+      b1: String, b2: String, b3: String,
+      c1: String, c2: String, c3: String): String =
+    s"$a1 * ($b2 * $c3 - $b3 * $c2) - $a2 * ($b1 * $c3 - $b3 * $c1)" +
+      s" + $a3 * ($b1 * $c2 - $b2 * $c1)"
+
+  // Cramer's rule on the centered normal equations C·b = c of
+  //   y ~ x1 (pace) + x2 (heat hinge) + x3 (days since start)
+  // (heat_adjustment.py:117-192 fits the same OLS via sklearn; here the
+  // covariances are ONE distributed aggregate and the 3×3 solve is column
+  // math on the 1-row result — scale-free).
+  private val hDet  = det3("c11", "c12", "c13", "c12", "c22", "c23", "c13", "c23", "c33")
+  private val hDet1 = det3("c1y", "c12", "c13", "c2y", "c22", "c23", "c3y", "c23", "c33")
+  private val hDet2 = det3("c11", "c1y", "c13", "c12", "c2y", "c23", "c13", "c3y", "c33")
+  private val hDet3 = det3("c11", "c12", "c1y", "c12", "c22", "c2y", "c13", "c23", "c3y")
+  // CASE-guarded against a singular system (collinear predictors) — the
+  // guard is part of the shared string, so both dialects stay identical;
+  // on non-degenerate data the branch is dead.
+  private def guarded(num: String): String =
+    s"(CASE WHEN ($hDet) = 0 THEN NULL ELSE ($num) / ($hDet) END)"
+  private val hBPace = guarded(hDet1)
+  private val hBHeat = guarded(hDet2)
+  private val hBDays = guarded(hDet3)
+  private val hB0 =
+    s"(my - $hBPace * m1 - $hBHeat * m2 - $hBDays * m3)"
+
+  /** SQL fragment computing the model's sufficient statistics (shared by
+    * both dialects — DuckDB and Spark agree on covar_pop/avg/count names).
+    */
+  private val hStatsSql =
+    """covar_pop(x1, x1) AS c11, covar_pop(x1, x2) AS c12,
+      |    covar_pop(x1, x3) AS c13, covar_pop(x2, x2) AS c22,
+      |    covar_pop(x2, x3) AS c23, covar_pop(x3, x3) AS c33,
+      |    covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+      |    covar_pop(x3, y) AS c3y, avg(x1) AS m1, avg(x2) AS m2,
+      |    avg(x3) AS m3, avg(y) AS my, count(*) AS n""".stripMargin
+
+  /** Sufficient statistics of the heat model over a prepared frame with
+    * columns (y, x1, x2, x3): one aggregate row, 14 doubles, regardless of
+    * input size.
+    */
+  def heatStats(f: DataFrame): DataFrame = f.agg(
+    covar_pop(col("x1"), col("x1")).as("c11"),
+    covar_pop(col("x1"), col("x2")).as("c12"),
+    covar_pop(col("x1"), col("x3")).as("c13"),
+    covar_pop(col("x2"), col("x2")).as("c22"),
+    covar_pop(col("x2"), col("x3")).as("c23"),
+    covar_pop(col("x3"), col("x3")).as("c33"),
+    covar_pop(col("x1"), col("y")).as("c1y"),
+    covar_pop(col("x2"), col("y")).as("c2y"),
+    covar_pop(col("x3"), col("y")).as("c3y"),
+    avg("x1").as("m1"), avg("x2").as("m2"), avg("x3").as("m3"),
+    avg("y").as("my"), count(lit(1)).as("n"))
+
+  /** Fitted coefficients (1-row frame: b_pace, b_heat, b_days, b0, n) from
+    * [[heatStats]] output.
+    */
+  def heatBetas(stats: DataFrame): DataFrame = stats.select(
+    expr(hBPace).as("b_pace"), expr(hBHeat).as("b_heat"),
+    expr(hBDays).as("b_days"), expr(hB0).as("b0"), col("n"))
+
+  /** Per-run heat attribution (heat_adjustment.py:99-115): heat_cost =
+    * β_heat · hinge, neutral = raw − heat_cost. The 1-row betas side is
+    * broadcast; the per-run side is map-only — no second shuffle.
+    */
+  def heatCost(f: DataFrame, betas: DataFrame): DataFrame =
+    f.crossJoin(broadcast(betas))
+      .withColumn("heat_cost", col("b_heat") * col("x2"))
+      .withColumn("neutral_hr", col("y") - col("heat_cost"))
+
+  /** Full heat chain with the reference's n ≥ minN gate
+    * (heat_adjustment.py:117-294 compute_trend): one row — either
+    * status='insufficient_data' with the row count, or status='ok' with the
+    * coefficients and the time trend (slope + p-value via the native
+    * Student-t expression) of the climate-neutral HR.
+    */
+  def heatTrend(f: DataFrame, minN: Int = 10): DataFrame = {
+    val betas = heatBetas(heatStats(f))
+    val trend = heatCost(f, betas)
+      .groupBy("b_pace", "b_heat", "b_days", "b0", "n")
+      .agg(
+        regr_slope(col("neutral_hr"), col("x3")).as("neutral_hr_slope"),
+        corr(col("neutral_hr"), col("x3")).as("_r"),
+        regr_count(col("neutral_hr"), col("x3")).as("_nn"))
+      .withColumn("neutral_hr_p_value",
+        StudentT.corrPValue(col("_r"), col("_nn")))
+      .drop("_r", "_nn")
+    val gate = col("n") >= minN
+    trend.select(
+      when(gate, lit("ok")).otherwise(lit("insufficient_data")).as("status"),
+      col("n"),
+      when(gate, col("b_pace")).as("b_pace"),
+      when(gate, col("b_heat")).as("b_heat"),
+      when(gate, col("b_days")).as("b_days"),
+      when(gate, col("b0")).as("b0"),
+      when(gate, col("neutral_hr_slope")).as("neutral_hr_slope"),
+      when(gate, col("neutral_hr_p_value")).as("neutral_hr_p_value"))
+  }
+
+  /** Star-schema proxy observations for the heat-chain oracle queries
+    * (the real athlete frame is built the same way from activities:
+    * y=avg_heart_rate, x1=avg_pace, x2=heatHinge(temp), x3=days).
+    */
+  private def heatProxyFrame(s: SparkSession, d: String,
+      keys: Boolean = false): DataFrame = {
+    val base = Seq(
+      col("l_extendedprice").as("y"),
+      col("l_quantity").as("x1"),
+      greatest(col("l_tax") - 0.04, lit(0.0)).as("x2"),
+      datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+        .cast("double").as("x3"))
+    val cols =
+      if (keys) Seq(col("l_orderkey"), col("l_linenumber")) ++ base else base
+    Tables.lineitem(s, d).select(cols: _*)
   }
 
   // ---------------------------------------------------------------- queries
@@ -269,6 +398,63 @@ object Stats {
         b1.as("b1"), b2.as("b_hinge"),
         (col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),
         col("n"))
+    },
+
+    // Heat-adjustment chain (heat_adjustment.py:117-294) on star-schema
+    // proxies: y=l_extendedprice (HR), x1=l_quantity (pace),
+    // x2=greatest(l_tax-0.04,0) (heat hinge), x3=days since 1992-01-01
+    // (time trend). Betas via Cramer on the 3×3 centered normal equations —
+    // the SAME generated formula strings run in both dialects.
+    Q("q_heat_model",
+      s"""WITH f AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS x1,
+        |    greatest(l_tax - 0.04, 0.0) AS x2,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS DOUBLE) AS x3
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT $hStatsSql
+        |  FROM f),
+        |b AS (
+        |  SELECT $hBPace AS b_pace, $hBHeat AS b_heat, $hBDays AS b_days,
+        |    $hB0 AS b0, n
+        |  FROM s)
+        |SELECT b.b_pace, b.b_heat, b.b_days, b.b0, b.n,
+        |  regr_slope(f.y - b.b_heat * f.x2, f.x3) AS neutral_slope
+        |FROM f, b
+        |GROUP BY b.b_pace, b.b_heat, b.b_days, b.b0, b.n""".stripMargin) {
+      (s, d) =>
+        val f = heatProxyFrame(s, d)
+        val betas = heatBetas(heatStats(f))
+        f.crossJoin(broadcast(betas))
+          .groupBy("b_pace", "b_heat", "b_days", "b0", "n")
+          .agg(regr_slope(col("y") - col("b_heat") * col("x2"), col("x3"))
+            .as("neutral_slope"))
+          .select("b_pace", "b_heat", "b_days", "b0", "n", "neutral_slope")
+    },
+
+    Q("q_heat_cost",
+      s"""WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice AS y,
+        |    l_quantity AS x1, greatest(l_tax - 0.04, 0.0) AS x2,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS DOUBLE) AS x3
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT $hStatsSql
+        |  FROM f),
+        |b AS (
+        |  SELECT $hBHeat AS b_heat FROM s)
+        |SELECT f.l_orderkey, f.l_linenumber, f.y AS raw_hr,
+        |  b.b_heat * f.x2 AS heat_cost,
+        |  f.y - b.b_heat * f.x2 AS neutral_hr
+        |FROM f, b
+        |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin) { (s, d) =>
+      val f = heatProxyFrame(s, d, keys = true)
+      val betas = heatBetas(heatStats(f.select("y", "x1", "x2", "x3")))
+        .select("b_heat")
+      heatCost(f, betas)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("y").as("raw_hr"), col("heat_cost"), col("neutral_hr"))
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Distributed-Gram OLS with p-values and VIF — inference needs a t-CDF

@@ -71,6 +71,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("hot-shingle cap: boilerplate-only pairs drop, content pairs survive") {
+    import graft.functions.TextHash._
+    import graft.operators.Dedup
+    import spark.implicits._
+    // 4 docs sharing one boilerplate sentence; 0/1 also share real content.
+    val boiler = "all rights reserved by the example corporation of the world"
+    val docs = Seq(
+      (0L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $boiler"),
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $boiler"),
+      (2L, s"one two three four five six seven eight nine ten $boiler"),
+      (3L, s"red orange yellow green blue indigo violet pink black white $boiler"))
+      .toDF("doc_id", "text")
+    val base = docs
+      .withColumn("th", expr(hashArraySpark(tokensSpark("text"))))
+      .withColumn("hs", expr(shingleHashesSpark("th")))
+      .where(size(col("hs")) > 0)
+      .select("doc_id", "hs")
+    // uncapped (maxDf above corpus size): boilerplate shingles connect
+    // everything — 2/3 share ONLY boilerplate with 0/1 yet still pair up
+    // with each other at J >= 0.5? No: only the true dup pair clears 0.5,
+    // but the boilerplate postings still hit the join. With the cap at
+    // df > 3 the boilerplate shingles (df=4) vanish and the content pair
+    // keeps jaccard 1.0 on the filtered space.
+    val uncapped = Dedup.ngramJaccardPairsCapped(base, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairsCapped(base, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uncapped.contains((0L, 1L)))
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    // filtered-space jaccard of the exact dup is exactly 1.0
+    assert(capped.find(p => p._1 == 0L && p._2 == 1L).get._3 === 1.0)
+    // a pair sharing ONLY boilerplate never becomes a candidate post-cap
+    assert(!capped.exists(p => p._1 == 2L && p._2 == 3L))
+  }
+
+  test("capped query matches uncapped on the synthetic sf corpus when no shingle is hot") {
+    val capped = SparkEntry.queries("q_dedup_ngram_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 4-doc corpus has no shingle with df > 20 -> identical pairs
+    assert(capped === plain)
+  }
+
   test("sf0.001 ngram blocking loses nothing vs unblocked ground truth") {
     // recompute truth without the length-band blocking
     import graft.functions.TextHash._

@@ -20,6 +20,11 @@ class SilverTablesSpec extends SparkSpec {
       (2L, 4, "ACTIVE", 120.0, 420.0, 150.0)) // GPS fragment: dist << median
       .toDF("activity_id", "split_index", "intensity_type", "distance",
         "pace_seconds_per_km", "heart_rate")
+      // phase stats read lap duration / cadence / power too
+      .withColumn("duration_seconds",
+        col("pace_seconds_per_km") * col("distance") / 1000.0)
+      .withColumn("cadence", lit(170.0))
+      .withColumn("power", lit(null).cast("double"))
     val pt = SilverTables.performanceTrends(spark, splits)
       .collect().map(r => r.getAs[Long]("activity_id") -> r).toMap
     assert(pt(1L).getAs[String]("workout_structure") === "interval")
@@ -92,5 +97,134 @@ class SilverTablesSpec extends SparkSpec {
     assert(math.abs(row.getAs[Float]("score") - expected.score) < 1e-4)
     assert(row.getAs[Boolean]("vo_needs_improvement") === expected.voNeedsImprovement)
     assert(math.abs(row.getAs[Float]("gct_penalty") - expected.gctPenalty) < 1e-4)
+  }
+
+  test("performance_trends: phase stats are size-weighted and evaluations pinned") {
+    import spark.implicits._
+    // warmup lap at low HR, two 1km run laps + a trailing fragment, cooldown
+    val splits = Seq(
+      (1L, 1, "WARMUP", 1000.0, 360.0, 132.0, 160.0),
+      (1L, 2, "ACTIVE", 1000.0, 300.0, 150.0, 175.0),
+      (1L, 3, "ACTIVE", 1000.0, 302.0, 152.0, 176.0),
+      (1L, 4, "ACTIVE", 100.0, 330.0, 154.0, 177.0), // fragment, small weight
+      (1L, 5, "COOLDOWN", 500.0, 380.0, 136.0, 158.0))
+      .toDF("activity_id", "split_index", "intensity_type", "distance",
+        "pace_seconds_per_km", "heart_rate", "cadence")
+      .withColumn("duration_seconds",
+        col("pace_seconds_per_km") * col("distance") / 1000.0)
+      .withColumn("power", lit(null).cast("double"))
+    val r = SilverTables.performanceTrends(spark, splits).head()
+    assert(r.getAs[String]("warmup_splits") === "1")
+    assert(r.getAs[String]("run_splits") === "2,3,4")
+    assert(r.getAs[String]("cooldown_splits") === "5")
+    assert(r.getAs[String]("recovery_splits") === null)
+    // run avg pace = total time / total distance (distance-weighted)
+    val durs = Seq(300.0, 302.0 * 1.0, 330.0 * 0.1)
+    val wantPace = (300.0 + 302.0 + 33.0) / 2.1
+    assert(math.abs(r.getAs[Double]("run_avg_pace_seconds_per_km") - wantPace) < 1e-9)
+    // time-weighted HR, rounded to 1 dp
+    val hrWant = BigDecimal((150.0 * 300.0 + 152.0 * 302.0 + 154.0 * 33.0) /
+      (300.0 + 302.0 + 33.0)).setScale(1, BigDecimal.RoundingMode.HALF_EVEN)
+    assert(BigDecimal(r.getAs[Double]("run_avg_hr")) === hrWant)
+    assert(r.getAs[String]("warmup_avg_pace_str") === "6:00")
+    // evaluations: warmup hr 132 < 140 -> Good; no recovery phase;
+    // cooldown 136 < 140 -> Good; run CV tiny + hr >= 145 -> Excellent
+    assert(r.getAs[String]("warmup_evaluation") === "Good warmup")
+    assert(r.getAs[String]("run_evaluation") === "Excellent")
+    assert(r.getAs[String]("recovery_evaluation") === "No recovery")
+    assert(r.getAs[String]("cooldown_evaluation") === "Good cooldown")
+    assert(r.getAs[String]("cadence_consistency") === "安定")
+    assert(r.getAs[String]("fatigue_pattern") === "適切")
+  }
+
+  test("pace_consistency falls back to all paces when <2 laps survive the filter") {
+    import spark.implicits._
+    // activity 1: one full lap + one fragment -> robust set has 1 lap ->
+    // fallback to CV over BOTH paces; activity 2: single lap -> CV 0.0
+    val splits = Seq(
+      (1L, 1, "ACTIVE", 1000.0, 300.0, 150.0),
+      (1L, 2, "ACTIVE", 100.0, 420.0, 151.0),
+      (2L, 1, "ACTIVE", 1000.0, 310.0, 149.0))
+      .toDF("activity_id", "split_index", "intensity_type", "distance",
+        "pace_seconds_per_km", "heart_rate")
+      .withColumn("duration_seconds", lit(300.0))
+      .withColumn("cadence", lit(null).cast("double"))
+      .withColumn("power", lit(null).cast("double"))
+    val pt = SilverTables.performanceTrends(spark, splits)
+      .collect().map(r => r.getAs[Long]("activity_id") -> r).toMap
+    // fallback: CV over (300, 420)
+    val mean = 360.0
+    val sd = math.sqrt(Seq(300.0, 420.0).map(v => (v - mean) * (v - mean)).sum / 1)
+    assert(math.abs(pt(1L).getAs[Double]("pace_consistency") - sd / mean) < 1e-12)
+    assert(pt(2L).getAs[Double]("pace_consistency") === 0.0)
+    assert(pt(2L).getAs[Double]("pace_consistency_full") === 0.0)
+  }
+
+  test("form_efficiency: stats, ratings, evaluations, variability, vo_trend") {
+    import spark.implicits._
+    val splits = Seq(
+      // activity 1: 4 laps, stable VO, gct avg 230 -> ★★★★☆ / Excellent
+      (1L, 1, 228.0, 8.2, 7.1),
+      (1L, 2, 232.0, 8.3, 7.2),
+      (1L, 3, 230.0, 8.1, 7.0),
+      (1L, 4, 230.0, 8.2, 7.1),
+      // activity 2: 2 laps only -> vo_trend insufficient
+      (2L, 1, 300.0, 13.0, 11.0),
+      (2L, 2, 300.0, 13.0, 11.0))
+      .toDF("activity_id", "split_index", "ground_contact_time",
+        "vertical_oscillation", "vertical_ratio")
+    val fe = SilverTables.formEfficiency(splits)
+      .collect().map(r => r.getAs[Long]("activity_id") -> r).toMap
+    val a1 = fe(1L)
+    assert(a1.getAs[Double]("gct_average") === 230.0)
+    assert(a1.getAs[Double]("gct_min") === 228.0 && a1.getAs[Double]("gct_max") === 232.0)
+    // sample std of (228,232,230,230)
+    val sd = math.sqrt(Seq(228.0, 232.0, 230.0, 230.0)
+      .map(v => (v - 230.0) * (v - 230.0)).sum / 3)
+    assert(math.abs(a1.getAs[Double]("gct_std") - sd) < 1e-12)
+    assert(math.abs(a1.getAs[Double]("gct_variability") - sd / 230.0 * 100) < 1e-12)
+    assert(a1.getAs[String]("gct_rating") === "★★★★☆")
+    assert(a1.getAs[String]("gct_evaluation") === "Excellent (230ms, optimal range)")
+    assert(a1.getAs[String]("vo_rating") === "★★★☆☆") // 8.2 in [8,10)
+    assert(a1.getAs[String]("vo_evaluation")
+      === "Good (8.2cm, target <8cm for optimal efficiency)")
+    assert(a1.getAs[String]("vr_rating") === "★★★★☆") // 7.1 in [7,9)
+    assert(a1.getAs[String]("vr_evaluation") === "Good (7.1%)")
+    // vo_trend: CV < 5% and |change| < 3% -> Very stable / consistent
+    assert(a1.getAs[String]("vo_trend").startsWith("Very stable (8.2cm avg, CV="))
+    assert(a1.getAs[String]("vo_trend").endsWith("consistent)"))
+    val a2 = fe(2L)
+    assert(a2.getAs[String]("vo_trend") === "Insufficient data (2 splits)")
+    assert(a2.getAs[Double]("gct_std") === 0.0) // stdev of equal values
+    assert(a2.getAs[String]("gct_rating") === "★☆☆☆☆") // 300 >= 280
+    assert(a2.getAs[String]("gct_evaluation") === "Too long (300ms, target <250ms)")
+    assert(a2.getAs[String]("vo_rating") === "★☆☆☆☆") // 13 >= 12
+    assert(a2.getAs[String]("vr_rating") === "★★☆☆☆") // 11 in [11,13)
+    // schema contract
+    assert(SilverTables.formEfficiency(splits).schema
+      .map(f => (f.name, f.dataType))
+      === Schemas.formEfficiency.map(f => (f.name, f.dataType)))
+  }
+
+  test("strength_sessions reader: date range + category_counts JSON parse") {
+    import spark.implicits._
+    import graft.ingest.StrengthSessions
+    val rows = Seq(
+      (10L, java.sql.Date.valueOf("2026-08-01"), """{"CRUNCH": 4, "PLANK": 7}"""),
+      (11L, java.sql.Date.valueOf("2026-08-05"), null.asInstanceOf[String]),
+      (12L, java.sql.Date.valueOf("2026-08-05"), "not json"),
+      (13L, java.sql.Date.valueOf("2026-09-01"), """{"SQUAT": 3}"""))
+      .toDF("activity_id", "activity_date", "category_counts")
+      .withColumn("active_sets", lit(5))
+      .withColumn("active_duration_seconds", lit(1200))
+    val got = StrengthSessions.read(rows, "2026-08-01", "2026-08-31")
+      .collect().map(r => r.getAs[Long]("activity_id") ->
+        r.getAs[Map[String, Int]]("category_counts")).toMap
+    assert(got.keySet === Set(10L, 11L, 12L)) // September row filtered
+    assert(got(10L) === Map("CRUNCH" -> 4, "PLANK" -> 7))
+    assert(got(11L) === Map.empty[String, Int]) // null -> {}
+    assert(got(12L) === Map.empty[String, Int]) // unparseable -> {}
+    val weekly = StrengthSessions.weeklyLoad(rows).collect()
+    assert(weekly.map(_.getAs[Long]("n_sessions")).sum === 4L)
   }
 }
