@@ -25,6 +25,30 @@ final class Graft(val spark: SparkSession, root: String) {
 
   def table(name: String): DataFrame = spark.read.parquet(s"$root/$name")
 
+  /** Validate-then-select column allowlist (reference
+    * readers/metadata.py:18-35): caller-supplied column names are checked
+    * against the table's silver contract BEFORE any plan is built, so a
+    * dynamic field list can never smuggle an expression into the query —
+    * the Spark analog of the reference's SQL-injection allowlist.
+    */
+  def selectFields(tableName: String, cols: Seq[String]): DataFrame = {
+    val allowed = graft.Schemas.all.getOrElse(tableName,
+      throw new IllegalArgumentException(s"unknown table: $tableName"))
+      .fieldNames.toSet
+    val bad = cols.filterNot(allowed)
+    require(bad.isEmpty,
+      s"columns not in the $tableName allowlist: ${bad.mkString(", ")}" +
+        s" (allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+    table(tableName).select(cols.map(col): _*)
+  }
+
+  /** get_bulk_activity_fields (metadata.py): allowlisted fields for a set
+    * of activities, keyed by activity_id.
+    */
+  def bulkActivityFields(ids: Seq[Long], fields: Seq[String]): DataFrame =
+    selectFields("activities", "activity_id" +: fields)
+      .where(col("activity_id").isin(ids: _*))
+
   private def splitsOf(activityId: Long): DataFrame =
     table("splits").where(col("activity_id") === activityId)
 

@@ -210,8 +210,32 @@ object SilverTables {
           (col("zone4_pct") + col("zone5_pct")) < 15.0, "moderate")
         .otherwise(canonicalCategory)
     graft.Schemas.conform(
-      joined.withColumn("intensity_category", refined),
+      joined.withColumn("intensity_category", refined)
+        .withColumn("zone_distribution_rating",
+          zoneDistributionRating(col("intensity_category"),
+            col("zone1_pct"), col("zone2_pct"), col("zone3_pct"),
+            col("zone4_pct"), col("zone5_pct"))),
       "hr_efficiency")
+  }
+
+  /** Per-category zone-band scoring (reference hr_efficiency.py:190-259):
+    * each intensity category is judged against its own correct HR-zone
+    * band — easy on Zone1-2 (staying low = success), moderate on the
+    * aerobic Zone2-3 band, tempo/threshold on Zone3-4, vo2max on Zone4-5;
+    * unknown stays neutral (never rated Poor).
+    */
+  def zoneDistributionRating(category: Column, z1: Column, z2: Column,
+      z3: Column, z4: Column, z5: Column): Column = {
+    def bands(pct: Column, t: (Int, Int, Int)): Column =
+      when(pct >= t._1, "Excellent")
+        .when(pct >= t._2, "Good")
+        .when(pct >= t._3, "Fair")
+        .otherwise("Poor")
+    when(category === "easy", bands(z1 + z2, (90, 75, 60)))
+      .when(category === "moderate", bands(z2 + z3, (80, 60, 40)))
+      .when(category.isin("tempo", "threshold"), bands(z3 + z4, (60, 40, 20)))
+      .when(category === "vo2max", bands(z4 + z5, (50, 30, 15)))
+      .otherwise(when(z1 + z2 + z3 >= 70.0, "Good").otherwise("Fair"))
   }
 
   /** form_evaluations: per-activity observation scored against the trained

@@ -66,19 +66,28 @@ object Dedup {
     */
   val NgramMaxDf: Int = 5
 
-  /** N-gram Jaccard pairs with the boilerplate cap: anti-join the postings
-    * against the (tiny, broadcast) hot-shingle set, recompute per-doc set
-    * sizes over surviving postings, then the same inverted-index
-    * count-join as the uncapped operator. Recall trade-off: a pair whose
-    * shared shingles are ALL hot is never a candidate — at the boilerplate
-    * df the cap targets, that is the desired behaviour.
+  /** Postings surviving the boilerplate cap: anti-join the exploded
+    * (doc, shingle-hash) postings against the hot-shingle set (df > maxDf
+    * documents). The hot set is tiny by construction (≤ postings/maxDf
+    * ids) → one broadcast, no extra shuffle of the postings.
     */
-  def ngramJaccardPairsCapped(base: DataFrame, maxDf: Long,
-      threshold: Double = 0.5): DataFrame = {
+  def cappedPostings(base: DataFrame, maxDf: Long): DataFrame = {
     val ex0 = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
     val hot = ex0.groupBy("hsh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("hsh")
-    val ex = ex0.join(broadcast(hot), Seq("hsh"), "left_anti")
+    ex0.join(broadcast(hot), Seq("hsh"), "left_anti")
+  }
+
+  /** Inverted-index Jaccard pairs over a postings frame (doc_id, hsh):
+    * per-doc sizes recomputed from the (possibly capped) postings so the
+    * Jaccard stays well-defined on the filtered shingle space. The postings
+    * frame is referenced FOUR times (both join sides + both size lookups) —
+    * callers on real data should pass a persisted frame (see the
+    * q_dedup_ngram_capped entry; the uncached plan recomputes the explode +
+    * anti-join 4×, measured 2.1 s vs 1.3 s at sf0.1).
+    */
+  def ngramJaccardPairsFromPostings(ex: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
       .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
@@ -94,6 +103,14 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** N-gram Jaccard pairs with the boilerplate cap. Recall trade-off: a
+    * pair whose shared shingles are ALL hot is never a candidate — at the
+    * boilerplate df the cap targets, that is the desired behaviour.
+    */
+  def ngramJaccardPairsCapped(base: DataFrame, maxDf: Long,
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFromPostings(cappedPostings(base, maxDf), threshold)
 
   /** 16 MinHash values as (sparkExpr, duckExpr) pairs over hash-array col hs. */
   private def minhashExprs: Seq[(Int, String, String)] =
@@ -188,10 +205,15 @@ object Dedup {
          |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
          |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      ngramJaccardPairsCapped(
-        shingled(s, d).where(size(col("hs")) > 0)
-          .select(col("doc_id"), col("hs")),
-        maxDf = NgramMaxDf)
+      // the postings side feeds 4 plan references — persist it once per
+      // dir (Caches registry: fingerprinted key, clear() lifecycle)
+      val ex = graft.Caches.getOrElseUpdate(
+        s"capped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf",
+        cappedPostings(
+          shingled(s, d).where(size(col("hs")) > 0)
+            .select(col("doc_id"), col("hs")),
+          maxDf = NgramMaxDf).persist())
+      ngramJaccardPairsFromPostings(ex)
     },
 
     // 16-permutation MinHash signature per document.

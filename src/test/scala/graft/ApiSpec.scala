@@ -28,9 +28,17 @@ class ApiSpec extends SparkSpec {
       .withColumn("elevation_loss", lit(1.0))
       .write.parquet(s"$d/splits")
     (1 to 30).map { i =>
-      (java.sql.Date.valueOf(f"2026-06-$i%02d"), 10.0, "aerobic_base")
-    }.toDF("activity_date", "total_distance_km", "training_type")
+      // id 15 runs faster/longer so the similarity band has structure
+      val speed = if (i == 15) 3.6 else 3.3 + (i % 5) * 0.02
+      val dist = if (i == 15) 14.0 else 10.0
+      (i.toLong, f"run $i%02d", java.sql.Date.valueOf(f"2026-06-$i%02d"),
+        dist, "aerobic_base", speed, 140.0 + (i % 7))
+    }.toDF("activity_id", "activity_name", "activity_date",
+        "total_distance_km", "training_type", "average_speed",
+        "avg_heart_rate")
       .write.parquet(s"$d/activities")
+    Seq(("default", 6)).toDF("user_id", "week_start_day")
+      .write.parquet(s"$d/athlete_profile")
     (1 to 30).map { i =>
       // HRV collapses below baseline the last two nights
       val hrv = if (i >= 29) 38.0 else 50.0
@@ -85,6 +93,49 @@ class ApiSpec extends SparkSpec {
     assert(g.export(g.table("splits"), s"$out/x", "csv") === 5L)
     intercept[IllegalArgumentException] {
       g.export(g.table("splits"), s"$out/y", "csv", maxRows = 2)
+    }
+  }
+
+  test("column allowlist: contract columns pass, anything else rejects") {
+    val ok = g.selectFields("activities",
+      Seq("activity_id", "activity_date", "total_distance_km"))
+    assert(ok.columns.toSeq ===
+      Seq("activity_id", "activity_date", "total_distance_km"))
+    val e = intercept[IllegalArgumentException] {
+      g.selectFields("activities", Seq("activity_date; DROP TABLE x"))
+    }
+    assert(e.getMessage.contains("allowlist"))
+    intercept[IllegalArgumentException] {
+      g.selectFields("no_such_table", Seq("a"))
+    }
+    val bulk = g.bulkActivityFields(Seq(1L, 2L),
+      Seq("avg_heart_rate", "total_distance_km")).collect()
+    assert(bulk.length === 2)
+  }
+
+  test("weekly volume honours the profile's Sunday week start") {
+    assert(g.weekStartDay() === 6)
+    val weeks = g.trends.weeklyVolume().collect()
+    // every bucket start is a Sunday
+    weeks.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(d.getDayOfWeek === java.time.DayOfWeek.SUNDAY, d)
+    }
+    assert(weeks.map(_.getAs[Double]("load_km")).sum === 304.0) // 29*10 + 14
+  }
+
+  test("find similar workouts: band, score, interpretation") {
+    val rows = g.comparisons.findSimilarWorkouts(10L, paceTolerance = 0.05,
+      distanceTolerance = 0.05).collect()
+    assert(rows.nonEmpty)
+    // the outlier run 15 (14 km, much faster) is outside the 5% band
+    assert(!rows.map(_.getAs[Long]("activity_id")).contains(15L))
+    rows.foreach { r =>
+      val s = r.getAs[Double]("similarity_score")
+      assert(s >= 0.0 && s <= 100.0)
+      val interp = r.getAs[String]("interpretation")
+      assert(interp.startsWith("ペース: ") && interp.contains("心拍: "))
+      assert(!interp.contains("気温")) // no temperature source -> no context
     }
   }
 }

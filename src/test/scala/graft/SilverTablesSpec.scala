@@ -61,6 +61,30 @@ class SilverTablesSpec extends SparkSpec {
     val total = Seq("zone1_pct", "zone2_pct", "zone3_pct", "zone4_pct", "zone5_pct")
       .map(he(1L).getAs[Double]).sum
     assert(math.abs(total - 100.0) < 0.05)
+    // band scoring against each category's own correct zone band:
+    // moderate run: z2+z3 = 24+60 = 84 >= 80 -> Excellent;
+    // easy run: z1+z2 = 90 -> Excellent
+    assert(he(1L).getAs[String]("zone_distribution_rating") === "Excellent")
+    assert(he(2L).getAs[String]("zone_distribution_rating") === "Excellent")
+  }
+
+  test("zone distribution rating bands per category") {
+    import spark.implicits._
+    val df = Seq(
+      ("easy", 40.0, 30.0, 20.0, 5.0, 5.0), // z1+z2=70 -> Fair
+      ("moderate", 5.0, 30.0, 35.0, 20.0, 10.0), // z2+z3=65 -> Good
+      ("tempo", 5.0, 15.0, 30.0, 35.0, 15.0), // z3+z4=65 -> Excellent
+      ("threshold", 20.0, 40.0, 15.0, 15.0, 10.0), // z3+z4=30 -> Fair
+      ("vo2max", 5.0, 10.0, 25.0, 30.0, 30.0), // z4+z5=60 -> Excellent
+      ("vo2max", 30.0, 30.0, 30.0, 5.0, 5.0), // z4+z5=10 -> Poor
+      ("unknown", 30.0, 30.0, 20.0, 10.0, 10.0), // z1..z3=80 -> Good
+      ("unknown", 10.0, 20.0, 20.0, 25.0, 25.0)) // z1..z3=50 -> Fair, never Poor
+      .toDF("cat", "z1", "z2", "z3", "z4", "z5")
+    val got = df.select(SilverTables.zoneDistributionRating(col("cat"),
+      col("z1"), col("z2"), col("z3"), col("z4"), col("z5")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("Fair", "Good", "Excellent", "Fair", "Excellent",
+      "Poor", "Good", "Fair"))
   }
 
   test("Schemas.conform: missing columns become typed nulls, extras dropped") {
