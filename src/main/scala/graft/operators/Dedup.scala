@@ -112,6 +112,23 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFromPostings(cappedPostings(base, maxDf), threshold)
 
+  /** Exploded LSH band keys (doc_id, g, k) from a shingled frame: 16
+    * MinHash values folded into 4 bands of 4, one output row per (doc,
+    * band) — the bucketed layout every banded join in this module keys on.
+    */
+  def bandedKeys(base: DataFrame): DataFrame = {
+    val sig = base.select(
+      col("doc_id") +:
+        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { g =>
+        struct(lit(g).as("g"),
+          concat_ws(",",
+            (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
+  }
+
   /** 16 MinHash values as (sparkExpr, duckExpr) pairs over hash-array col hs. */
   private def minhashExprs: Seq[(Int, String, String)] =
     (0 until 16).map { j =>
@@ -295,6 +312,63 @@ object Dedup {
         .where(col("u") > 0 && col("jaccard") >= 0.5)
         .drop("u")
         .orderBy("a_id", "b_id")
+    },
+
+    // INCREMENTAL dedup: drop each NEW document (odd doc_id as the batch
+    // stand-in) that is an exact copy OR a banded-MinHash collision of a
+    // SEEN document (even doc_id = the existing corpus). This is the
+    // actual 100 TB production shape — a new crawl batch dedups against
+    // the corpus WITHOUT re-pairing the corpus with itself: both probes
+    // are equi-joins (text key / band key) of batch-sized left sides
+    // against the corpus index, and intra-batch duplicates are
+    // deliberately left to the batch-level operators above. At scale the
+    // seen side is the persisted signature/band silver table; here both
+    // sides derive from one corpus split.
+    Q("q_dedup_incremental", {
+      val mh = minhashExprs.map { case (j, _, duck) => f"$duck AS mh$j%02d" }
+        .mkString(",\n    ")
+      val bands = (0 until 4).map { g =>
+        val ks = (4 * g until 4 * g + 4).map(j => f"mh$j%02d").mkString(", ")
+        s"concat_ws(',', $ks) AS bk$g"
+      }.mkString(",\n    ")
+      val orJoin = (0 until 4).map(g => s"n.bk$g = s.bk$g").mkString(" OR ")
+      s"""WITH $shingledDuck,
+         |m AS (SELECT doc_id,
+         |    $mh
+         |  FROM h WHERE len(hs) > 0),
+         |sig AS (SELECT doc_id,
+         |    $bands
+         |  FROM m),
+         |nearhit AS (SELECT DISTINCT n.doc_id
+         |  FROM sig n JOIN sig s
+         |    ON n.doc_id % 2 = 1 AND s.doc_id % 2 = 0 AND ($orJoin)),
+         |exacthit AS (SELECT DISTINCT n.doc_id
+         |  FROM documents n JOIN documents s
+         |    ON n.doc_id % 2 = 1 AND s.doc_id % 2 = 0 AND n.text = s.text)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exacthit)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val newIds = col("doc_id") % 2 === 1
+      val seenIds = col("doc_id") % 2 === 0
+      // exact probe: batch texts semi-joined against the corpus text key
+      // (at 100 TB: sha2(text,256) so the shuffle carries 32 bytes/row)
+      val exactHit = docs.where(newIds).select("doc_id", "text")
+        .join(docs.where(seenIds).select("text").distinct(),
+          Seq("text"), "left_semi")
+        .select("doc_id")
+      val bandKeys = bandedKeys(shingled(s, d).where(size(col("hs")) > 0))
+      val nearHit = bandKeys.where(newIds)
+        .join(bandKeys.where(seenIds).select("g", "k").distinct(),
+          Seq("g", "k"), "left_semi")
+        .select("doc_id").distinct()
+      docs.where(newIds).select("doc_id")
+        .join(exactHit, Seq("doc_id"), "left_anti")
+        .join(nearHit, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     },
 
     // 30-bit SimHash over distinct-token hashes (polyHash < 2^30, so every

@@ -115,6 +115,14 @@ class DedupSpec extends SparkSpec {
     assert(capped === plain)
   }
 
+  test("incremental dedup: new batch survives only where the corpus has no match") {
+    // corpus split by parity: seen = {0, 2}, new batch = {1, 3}.
+    // 1 is an exact copy of seen doc 0 -> dropped; 3 is unrelated -> kept.
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L))
+  }
+
   test("sf0.001 ngram blocking loses nothing vs unblocked ground truth") {
     // recompute truth without the length-band blocking
     import graft.functions.TextHash._
