@@ -169,7 +169,10 @@ final class Graft(val spark: SparkSession, root: String) {
   object fitness {
     def currentFitnessSummary(asOf: java.sql.Date): FitnessAssessor.Assessment =
       FitnessAssessor.assess(spark, table("activities"), asOf,
-        weekStartDay = weekStartDay())
+        weekStartDay = weekStartDay(),
+        vo2max =
+          try Some(table("vo2_max"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None })
 
     /** get_race_readiness: blended predictions per standard distance. */
     def raceReadiness(vdot: Double,

@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,7 +24,9 @@ object FitnessAssessor {
       runsPerWeek: Double,
       latestGapDays: Option[Int],
       preGapWeeklyMedianKm: Option[Double],
-      trainingTypeDistribution: Map[String, Double])
+      trainingTypeDistribution: Map[String, Double],
+      currentVdot: Option[Double] = None,
+      preGapVdot: Option[Double] = None)
 
   /** `activities` columns: activity_date (date), total_distance_km,
     * training_type. `asOf` bounds the analysis (inclusive).
@@ -39,7 +41,7 @@ object FitnessAssessor {
     */
   def assess(spark: SparkSession, activities: DataFrame,
       asOf: java.sql.Date, lookbackWeeks: Int = 8,
-      weekStartDay: Int = 0): Assessment = {
+      weekStartDay: Int = 0, vo2max: Option[DataFrame] = None): Assessment = {
     val upTo = activities.where(col("activity_date") <= lit(asOf)).cache()
     try {
       val cutoff = date_sub(lit(asOf), 7 * lookbackWeeks)
@@ -90,7 +92,40 @@ object FitnessAssessor {
         else dist.map(r => Option(r.getAs[String]("training_type")).getOrElse("unknown")
           -> r.getAs[Long]("count") / total).toMap
 
-      Assessment(eightWeekKm, runsPerWeek, latestGapDays, preGapMedian, typeDist)
+      // VDOT (fitness_assessor.py:146-191): latest VO2max in the window
+      // (vdot = vo2·0.98) else best recent ≥3 km performance; pre-gap VDOT
+      // from the latest VO2max before gap_end over the 24-week baseline.
+      def latestVo2(from: Column, until: Option[java.sql.Date]): Option[Double] =
+        vo2max.flatMap { v =>
+          val bounded = until.fold(v.where(col("activity_date") >= from))(u =>
+            v.where(col("activity_date") >= from &&
+              col("activity_date") < lit(u)))
+          bounded.where(col("activity_date") <= lit(asOf))
+            .orderBy(col("activity_date").desc).limit(1)
+            .select(col("precise_value").cast("double")).collect()
+            .headOption.flatMap(r =>
+              if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        }
+      val hasPerf = activities.columns.contains("total_time_seconds")
+      val currentVdot = latestVo2(cutoff, None).map(Vdot.vdotFromVo2max)
+        .orElse {
+          if (!hasPerf) None
+          else recent
+            .where(col("total_distance_km") >= 3.0 &&
+              col("total_time_seconds").isNotNull)
+            .orderBy((col("total_time_seconds") / col("total_distance_km")).asc)
+            .limit(1)
+            .select("total_distance_km", "total_time_seconds").collect()
+            .headOption.map(r => Vdot.vdotFromRace(
+              r.getAs[Double]("total_distance_km"),
+              r.getAs[Double]("total_time_seconds").toLong))
+        }
+      val preGapVdot = gapEnd.flatMap(end =>
+        latestVo2(date_sub(lit(asOf), 7 * 24), Some(end)))
+        .map(v => round1(Vdot.vdotFromVo2max(v)))
+
+      Assessment(eightWeekKm, runsPerWeek, latestGapDays, preGapMedian,
+        typeDist, currentVdot, preGapVdot)
     } finally upTo.unpersist()
   }
 }

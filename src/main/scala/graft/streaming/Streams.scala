@@ -64,4 +64,25 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming incremental dedup: new documents arrive as a stream and are
+    * dropped when their dedup key (sha2 of text, or a banded-MinHash key
+    * exploded upstream) already exists in the STATIC seen-corpus index —
+    * the streaming analog of operators.Dedup's q_dedup_incremental.
+    *
+    * Spark's stream-static join supports inner/left-outer with the stream
+    * on the left; anti semantics = left-outer + keep-null-right, which
+    * stays stateless (the static side is broadcast or re-scanned per
+    * micro-batch, no streaming state at all). Intra-batch duplicates are
+    * NOT collapsed here (same contract as the batch operator); chain
+    * [[dedupStream]] for that.
+    */
+  def antiDedupStream(newDocs: DataFrame, seenKeys: DataFrame,
+      keyCol: String): DataFrame = {
+    val marker = seenKeys.select(col(keyCol), lit(1).as("__seen"))
+    newDocs
+      .join(marker, Seq(keyCol), "left_outer")
+      .where(col("__seen").isNull)
+      .drop("__seen")
+  }
 }

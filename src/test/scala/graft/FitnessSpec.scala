@@ -50,4 +50,42 @@ class FitnessSpec extends SparkSpec {
     assert(a.trainingTypeDistribution.keySet.contains("tempo"))
     assert(math.abs(a.trainingTypeDistribution.values.sum - 1.0) < 1e-9)
   }
+
+  test("current + pre-gap VDOT: vo2max path, race fallback, rounding") {
+    import spark.implicits._
+    import graft.domain.Vdot
+    val asOf = Date.valueOf("2026-07-20")
+    val acts = Seq(
+      (Date.valueOf("2026-03-01"), 10.0, "aerobic_base", Some(3000.0)),
+      (Date.valueOf("2026-06-20"), 10.0, "aerobic_base", Some(2940.0)), // 294 s/km
+      (Date.valueOf("2026-07-10"), 5.0, "tempo", Some(1400.0)), // fastest pace 280
+      (Date.valueOf("2026-07-12"), 2.0, "speed", Some(500.0))) // <3km, excluded
+      .toDF("activity_date", "total_distance_km", "training_type",
+        "total_time_seconds")
+    // vo2max present: latest value in window wins (54.0 on 7/10)
+    val vo2 = Seq(
+      (Date.valueOf("2026-06-25"), 52.0),
+      (Date.valueOf("2026-07-10"), 54.0))
+      .toDF("activity_date", "precise_value")
+    val withVo2 = FitnessAssessor.assess(spark, acts, asOf, vo2max = Some(vo2))
+    assert(withVo2.currentVdot.contains(Vdot.vdotFromVo2max(54.0)))
+    // no vo2max frame: fastest >=3km performance (5 km in 1400 s)
+    val fallback = FitnessAssessor.assess(spark, acts, asOf)
+    assert(fallback.currentVdot.contains(Vdot.vdotFromRace(5.0, 1400L)))
+    // pre-gap VDOT: gap must exist; build a gapped history with a pre-gap vo2
+    val gapped = Seq(
+      (Date.valueOf("2026-06-01"), 10.0, "aerobic_base", Some(3000.0)),
+      (Date.valueOf("2026-06-05"), 10.0, "aerobic_base", Some(3000.0)),
+      (Date.valueOf("2026-06-25"), 10.0, "tempo", Some(2900.0)))
+      .toDF("activity_date", "total_distance_km", "training_type",
+        "total_time_seconds")
+    val vo2Pre = Seq((Date.valueOf("2026-06-03"), 50.0))
+      .toDF("activity_date", "precise_value")
+    val g = FitnessAssessor.assess(spark, gapped, Date.valueOf("2026-06-25"),
+      vo2max = Some(vo2Pre))
+    assert(g.latestGapDays.contains(20))
+    val want = BigDecimal(Vdot.vdotFromVo2max(50.0))
+      .setScale(1, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(g.preGapVdot.contains(want))
+  }
 }
