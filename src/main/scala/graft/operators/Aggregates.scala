@@ -167,8 +167,10 @@ object Aggregates {
       .agg(
         avg(when(secs < col("mid"), col(valueCol))).as("first_avg"),
         avg(when(secs >= col("mid"), col(valueCol))).as("second_avg"))
+      // try_divide: an all-zero first half yields NULL (DuckDB /0
+      // semantics) instead of an ANSI crash on degenerate real data
       .withColumn("decoupling_pct",
-        (col("second_avg") / col("first_avg") - 1.0) * 100.0)
+        (try_divide(col("second_avg"), col("first_avg")) - 1.0) * 100.0)
   }
 
   /** Per-group share of total (zone time distribution shape). The global
@@ -180,7 +182,7 @@ object Aggregates {
     val total = grouped.agg(sum(col("group_v")).as("total_v"))
     grouped.crossJoin(broadcast(total))
       .select(col(keyCol), col("group_v"),
-        (col("group_v") / col("total_v") * 100.0).as("pct"))
+        (try_divide(col("group_v"), col("total_v")) * 100.0).as("pct"))
   }
 
   /** Value-weighted average: Σ(metric·weight)/Σ(weight) per group
@@ -189,8 +191,8 @@ object Aggregates {
   def weightedAvg(df: DataFrame, groupCol: String, metricCol: String,
       weightCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg((sum(col(metricCol) * col(weightCol)) / sum(col(weightCol)))
-        .as("weighted_v"))
+      .agg(try_divide(sum(col(metricCol) * col(weightCol)),
+        sum(col(weightCol))).as("weighted_v"))
 
   /** Coefficient of variation, plain and fragment-robust (rows below
     * 0.5×median(group) excluded, mirroring the GPS-fragment lap filter).
@@ -198,11 +200,12 @@ object Aggregates {
   def cvRobust(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val med = df.groupBy(col(groupCol)).agg(median(col(valueCol)).as("med_v"))
     val plain = df.groupBy(col(groupCol))
-      .agg((stddev(col(valueCol)) / avg(col(valueCol))).as("cv"))
+      .agg(try_divide(stddev(col(valueCol)), avg(col(valueCol))).as("cv"))
     val robust = df.join(broadcast(med), groupCol)
       .filter(col(valueCol) >= col("med_v") * 0.5)
       .groupBy(col(groupCol))
-      .agg((stddev(col(valueCol)) / avg(col(valueCol))).as("cv_robust"))
+      .agg(try_divide(stddev(col(valueCol)), avg(col(valueCol)))
+        .as("cv_robust"))
     plain.join(robust, Seq(groupCol), "left")
   }
 
@@ -383,9 +386,12 @@ object Aggregates {
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
     df.crossJoin(broadcast(bounds))
+      // try_divide: a constant column (mx = mn) gives NULL width -> NULL
+      // bucket, and least() then resolves like DuckDB (both engines skip
+      // nulls in least) — never an ANSI crash
       .withColumn("bucket",
-        least(floor((col(valueCol) - col("mn")) /
-          ((col("mx") - col("mn")) / nBuckets)), lit(nBuckets - 1L)))
+        least(floor(try_divide(col(valueCol) - col("mn"),
+          (col("mx") - col("mn")) / nBuckets)), lit(nBuckets - 1L)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).as("bin_min"),

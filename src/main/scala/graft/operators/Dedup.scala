@@ -427,8 +427,11 @@ object Dedup {
         col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("b_id"), col("label"),
         col("v").as("bv"), col("nrm").as("bn"))
-      val cos = expr("aggregate(zip_with(av, bv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)") /
-        (col("an") * col("bn"))
+      // try_divide: zero-norm vectors -> NULL cosine (DuckDB /0 semantics),
+      // not an ANSI crash
+      val cos = try_divide(
+        expr("aggregate(zip_with(av, bv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)"),
+        col("an") * col("bn"))
       a.join(b, Seq("label"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), cos.as("cosine"))

@@ -50,9 +50,11 @@ object Similarity {
       |n AS (SELECT vec_id, label, v,
       |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)""".stripMargin
 
-  private val cosSpark =
-    expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)") /
-      (col("qn") * col("cn"))
+  // try_divide: a zero-norm vector yields NULL cosine (DuckDB's native /0
+  // semantics) instead of an ANSI DIVIDE_BY_ZERO crash at scale.
+  private val cosSpark = try_divide(
+    expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)"),
+    col("qn") * col("cn"))
 
   /** Deterministic hyperplane j for LSH (fixed integer lattice, no RNG —
     * reproducible across runs/partitions). Components in [-1000, 1000].

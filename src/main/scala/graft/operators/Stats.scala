@@ -353,8 +353,12 @@ object Stats {
         avg("l_quantity").as("m1"), avg("l_discount").as("m2"),
         avg("l_extendedprice").as("my"), count(lit(1)).as("n"))
       val det = col("c11") * col("c22") - col("c12") * col("c12")
-      val b1 = (col("c22") * col("c1y") - col("c12") * col("c2y")) / det
-      val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / det
+      // try_divide: a singular system (collinear features) yields NULL
+      // betas — DuckDB's native /0 semantics — instead of an ANSI crash
+      val b1 = try_divide(
+        col("c22") * col("c1y") - col("c12") * col("c2y"), det)
+      val b2 = try_divide(
+        col("c11") * col("c2y") - col("c12") * col("c1y"), det)
       stats.select(
         b1.as("b1"), b2.as("b2"),
         (col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),
@@ -392,8 +396,12 @@ object Stats {
         avg("x1").as("m1"), avg("x2").as("m2"),
         avg("y").as("my"), count(lit(1)).as("n"))
       val det = col("c11") * col("c22") - col("c12") * col("c12")
-      val b1 = (col("c22") * col("c1y") - col("c12") * col("c2y")) / det
-      val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / det
+      // try_divide: a singular system (collinear features) yields NULL
+      // betas — DuckDB's native /0 semantics — instead of an ANSI crash
+      val b1 = try_divide(
+        col("c22") * col("c1y") - col("c12") * col("c2y"), det)
+      val b2 = try_divide(
+        col("c11") * col("c2y") - col("c12") * col("c1y"), det)
       stats.select(
         b1.as("b1"), b2.as("b_hinge"),
         (col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),

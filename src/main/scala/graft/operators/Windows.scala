@@ -33,9 +33,11 @@ object Windows {
   def zscoreOutliers(df: DataFrame, partCol: String, valueCol: String,
       threshold: Double): DataFrame = {
     val w = Window.partitionBy(col(partCol))
+    // try_divide: a constant partition (stddev 0) yields NULL z — the row
+    // is then not an outlier (DuckDB /0 semantics), not an ANSI crash
     df.withColumn("z",
-        (col(valueCol) - avg(col(valueCol)).over(w)) /
-          stddev(col(valueCol)).over(w))
+        try_divide(col(valueCol) - avg(col(valueCol)).over(w),
+          stddev(col(valueCol)).over(w)))
       .filter(abs(col("z")) > threshold)
   }
 

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Aggregates, Windows}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behaviour under ANSI mode (Spark 4 default): every
+  * data-derived denominator must yield NULL like DuckDB's native /0 —
+  * never a DIVIDE_BY_ZERO crash. At 100 TB a zero-variance partition, an
+  * all-zero half, or a zero-norm vector WILL occur.
+  */
+class AnsiRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session runs with ANSI enabled (the mode these guards exist for)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+  }
+
+  test("conditional halves: all-zero first half -> null decoupling, no crash") {
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val df = Seq(
+      ("a", ts0, 0.0), ("a", ts(1), 0.0), // first half all zero
+      ("a", ts(100), 5.0), ("a", ts(101), 6.0))
+      .toDF("k", "ts", "v")
+    val row = Aggregates.conditionalHalves(df, "k", "ts", "v").head()
+    assert(row.isNullAt(row.fieldIndex("decoupling_pct")))
+  }
+
+  test("zscore outliers: constant partition yields no rows, no crash") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 9.0))
+      .toDF("k", "v")
+    val out = Windows.zscoreOutliers(df, "k", "v", 0.5).collect()
+    assert(out.forall(_.getAs[String]("k") == "b"))
+  }
+
+  test("cv: zero-mean group -> null, not crash") {
+    val df = Seq(("g", -1.0), ("g", 1.0)).toDF("k", "v")
+    val row = Aggregates.cvRobust(df, "k", "v").head()
+    assert(row.isNullAt(row.fieldIndex("cv")))
+  }
+
+  test("weighted avg: all-zero weights -> null") {
+    val df = Seq(("g", 10.0, 0.0), ("g", 20.0, 0.0)).toDF("k", "m", "w")
+    val row = Aggregates.weightedAvg(df, "k", "m", "w").head()
+    assert(row.isNullAt(row.fieldIndex("weighted_v")))
+  }
+
+  test("histogram: constant column does not crash") {
+    val df = Seq.fill(5)(42.0).toDF("v")
+    val rows = Aggregates.histogram(df, "v", 10).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum === 5L)
+  }
+
+  test("share of total: zero total -> null pct") {
+    val df = Seq(("a", 0.0), ("b", 0.0)).toDF("k", "v")
+    val rows = Aggregates.shareOfTotal(df, "k", "v").collect()
+    assert(rows.forall(_.isNullAt(2)))
+  }
+}
