@@ -110,6 +110,52 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Curation filter pipeline (the C4/Gopher-style keep/drop chain a
+    // training-data pipeline runs before dedup): fixed-order rules with a
+    // FIRST-MATCH reject reason, aggregated into the survival report a
+    // pipeline operator dashboards. One pass, no shuffle beyond the final
+    // tiny group-by; doc-level decisions available via the same CASE.
+    Q("q_text_filter_report",
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS nc, ${tokensDuck("text")} AS toks,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN nc < 50 THEN 'too_short'
+         |      WHEN len(toks) < 10 THEN 'too_few_tokens'
+         |      WHEN len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE
+         |           / len(toks) < 0.05 THEN 'low_stopword'
+         |      WHEN npunct::DOUBLE / nc > 0.10 THEN 'high_punct'
+         |      WHEN len(list_distinct(toks))::DOUBLE / len(toks) < 0.3
+         |        THEN 'repetitive'
+         |      ELSE 'kept' END AS reason
+         |  FROM t)
+         |SELECT reason, count(*) AS n_docs
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val stopSpark = stop.map(w => s"'$w'").mkString(", ")
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .withColumn("nc", length(col("text")).cast("long"))
+        .withColumn("npunct",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+        .withColumn("reason",
+          when(col("nc") < 50, "too_short")
+            .when(size(col("toks")) < 10, "too_few_tokens")
+            .when(expr(s"size(filter(toks, x -> x IN ($stopSpark)))")
+              .cast("double") / size(col("toks")) < 0.05, "low_stopword")
+            .when(col("npunct").cast("double") / col("nc") > 0.10, "high_punct")
+            .when(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")) < 0.3, "repetitive")
+            .otherwise("kept"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("reason")
+    },
+
     // Stopword-hit scoring per language family; fixed priority on ties.
     // (The synthetic corpus shares one vocabulary across langs, so this is
     // graded on cross-engine parity of the scoring, not on accuracy.)
