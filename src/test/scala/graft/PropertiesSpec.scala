@@ -81,4 +81,53 @@ object DomainProperties extends Properties("graft.domain") {
       (mb.z.isEmpty == insufficient) &&
         (!mb.adverse || mb.flag == "low")
     }
+
+  // ---- round 3 surfaces ----
+
+  property("week start lands on the configured day, within 6 days back") =
+    forAll(Gen.choose(0L, 20000L), Gen.choose(0, 6)) { (epochDay, start) =>
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      // scalar mirror of Aggregates.weekStartCol's arithmetic
+      val weekday = d.getDayOfWeek.getValue - 1 // Monday=0..Sunday=6
+      val offset = ((weekday - start) % 7 + 7) % 7
+      val ws = d.minusDays(offset.toLong)
+      (ws.getDayOfWeek.getValue - 1) == start &&
+        !ws.isAfter(d) && !d.isAfter(ws.plusDays(6))
+    }
+
+  property("training-type matrix is symmetric with values in (0,1]") = {
+    val lvl = Gen.oneOf(graft.operators.Joins.TrainingTypes :+ "unknown")
+    forAll(lvl, lvl) { (a, b) =>
+      val m = graft.operators.Joins.TrainingTypeSimilarity
+      def look(x: String, y: String) =
+        m.getOrElse(Seq(x, y).sorted.mkString("|"), 0.3)
+      val s = look(a, b)
+      // symmetric, bounded, and every self-pair scores exactly 1.0
+      s == look(b, a) && s > 0.0 && s <= 1.0 && (a != b || s == 1.0)
+    }
+  }
+
+  property("goal progress status matches the gap thresholds exactly") =
+    forAll(Gen.choose(-600, 600), Gen.choose(5.0, 42.195)) { (delta, km) =>
+      val today = java.time.LocalDate.of(2026, 8, 12)
+      val predicted = Vdot.predictRaceTime(50.0, km)
+      RaceGoal.progress(50.0,
+        RaceGoal.Goal(Some("r"), None, Some(km),
+          Some((predicted - delta).toInt)), today).exists { p =>
+        p.gapSeconds == delta.toLong &&
+          (p.status match {
+            case "ahead" => delta <= -60
+            case "on_track" => math.abs(delta) < 60
+            case "behind" => delta >= 60
+            case _ => false
+          })
+      }
+    }
+
+  property("heat hinge is non-negative, zero below ref, slope-1 above") =
+    forAll(Gen.choose(-30.0, 45.0)) { t =>
+      val h = math.max(t - 15.0, 0.0) // scalar mirror of Stats.heatHinge
+      h >= 0.0 && (t <= 15.0 || math.abs(h - (t - 15.0)) < 1e-12) &&
+        (t > 15.0 || h == 0.0)
+    }
 }
