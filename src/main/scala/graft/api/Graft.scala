@@ -293,4 +293,56 @@ final class Graft(val spark: SparkSession, root: String) {
   def export(df: DataFrame, path: String, format: String = "parquet",
       maxRows: Long = 100000L): Long =
     SilverWriter.export(df, path, format, maxRows)
+
+  /** Athlete-table round trips (save_athlete_profile / save_weekly_review /
+    * /set-goal): every write conforms to the silver contract first. The
+    * profile is 1-row-per-user (read-modify-write through the driver —
+    * the table is bounded by the user count, and materializing before the
+    * overwrite avoids Spark's read-while-overwriting hazard); reviews and
+    * goals are append-only by design (weekly_reviews dropped its UNIQUE
+    * index specifically to allow revisions — latest-wins happens at read).
+    */
+  object athlete {
+    private def conformed(df: DataFrame, tableName: String): DataFrame =
+      graft.Schemas.conform(df, tableName)
+
+    /** Upsert the incoming users' profile rows, preserving every other
+      * user. The replaced set comes from the rows themselves — a caller
+      * cannot desync the filter key from the payload.
+      */
+    def saveProfile(row: DataFrame): Unit = {
+      val newRows = conformed(row, "athlete_profile").collect().toSeq
+      val ids = newRows.map(_.getAs[String]("user_id")).toSet
+      val others =
+        try conformed(table("athlete_profile"), "athlete_profile")
+          .collect().toSeq
+          .filterNot(r => ids(r.getAs[String]("user_id")))
+        catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(newRows ++ others),
+        graft.Schemas.athleteProfile)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/athlete_profile")
+    }
+
+    def profile(userId: String = "default"): Option[org.apache.spark.sql.Row] =
+      try table("athlete_profile").where(col("user_id") === userId)
+        .collect().headOption
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+    /** Append a weekly review revision (append-only; latest wins at read). */
+    def saveWeeklyReview(review: DataFrame): Unit =
+      conformed(review, "weekly_reviews")
+        .write.mode("append").parquet(s"$root/weekly_reviews")
+
+    /** Latest revision per reviewed week (the latest-wins window). */
+    def latestReviews(): DataFrame =
+      graft.operators.Windows.latestVersion(
+        table("weekly_reviews"), "week_start_date", "created_at", "review_id")
+
+    /** Register a race goal (append-only). */
+    def saveGoal(goal: DataFrame): Unit =
+      conformed(goal, "athlete_goals")
+        .write.mode("append").parquet(s"$root/athlete_goals")
+  }
 }

@@ -124,6 +124,41 @@ class ApiSpec extends SparkSpec {
     assert(weeks.map(_.getAs[Double]("load_km")).sum === 304.0) // 29*10 + 14
   }
 
+  test("athlete round trips: profile upsert, review revisions, goal feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // profile upsert replaces only the target user's row
+    g.athlete.saveProfile(Seq(("u9", "base", 3)).toDF(
+      "user_id", "current_focus", "week_start_day"))
+    g.athlete.saveProfile(Seq(("u9", "marathon", 0)).toDF(
+      "user_id", "current_focus", "week_start_day"))
+    val p = g.athlete.profile("u9").get
+    assert(p.getAs[String]("current_focus") === "marathon")
+    assert(g.table("athlete_profile").where("user_id = 'u9'").count() === 1)
+    // append-only reviews, latest revision wins per week
+    def review(id: Int, data: String, at: String) = Seq((id, data)).toDF(
+      "review_id", "review_data")
+      .withColumn("user_id", lit("u9"))
+      .withColumn("week_start_date", lit(java.sql.Date.valueOf("2026-08-03")))
+      .withColumn("created_at", lit(java.sql.Timestamp.valueOf(at)))
+    g.athlete.saveWeeklyReview(review(1, "v1", "2026-08-09 10:00:00"))
+    g.athlete.saveWeeklyReview(review(2, "v2", "2026-08-10 10:00:00"))
+    val latest = g.athlete.latestReviews()
+      .where("week_start_date = DATE '2026-08-03'").collect()
+    assert(latest.length === 1)
+    assert(latest.head.getAs[String]("review_data") === "v2")
+    // registered goal feeds goal progress
+    g.athlete.saveGoal(Seq((1, "u9", "city 10k", 10.0, 2400)).toDF(
+      "goal_id", "user_id", "race_name", "distance_km", "target_time_seconds")
+      .withColumn("race_date", lit(java.sql.Date.valueOf("2026-10-01")))
+      .withColumn("priority", lit("A"))
+      .withColumn("status", lit("active")))
+    val gp = g.fitness.goalProgress(50.0,
+      java.time.LocalDate.of(2026, 8, 12), "u9")
+    assert(gp.exists(_._1.raceName.contains("city 10k")))
+    assert(gp.flatMap(_._2).exists(_.weeksRemaining.contains(7)))
+  }
+
   test("find similar workouts: band, score, interpretation") {
     val rows = g.comparisons.findSimilarWorkouts(10L, paceTolerance = 0.05,
       distanceTolerance = 0.05).collect()
