@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan regression net: plans every registered query (no
+  * execution) and asserts the join-strategy invariants the per-round
+  * explain audits established. A future edit that silently degrades a
+  * broadcast-able join into a cartesian — or grows a new nested-loop join
+  * outside the audited set — fails here, not in the next round's bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+    * every one is a cross against a BROADCAST side that is one row (model
+    * betas, histogram bounds, share-of-total totals, the similarity
+    * target) or bounded by a tiny domain (the ANN query set, the
+    * pre-aggregated date-interval side). Map-only at any scale.
+    */
+  private val allowedBnl = Set(
+    "q_ann_brute", // broadcast ≤10-row query set over the corpus
+    "q_heat_cost", // 1-row fitted betas
+    "q_heat_model", // 1-row fitted betas
+    "q_histogram", // 1-row min/max bounds
+    "q_interval_join", // right side pre-aggregated to the date domain
+    "q_similarity_score", // 1-row target
+    "q_type_distribution", // 1-row total
+    "q_zone_distribution") // 1-row total
+
+  test("no cartesian products; nested-loop joins only in the audited set") {
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.sparkPlan.toString
+    }
+    val cartesian = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(cartesian.isEmpty, s"cartesian product in: $cartesian")
+    val bnl = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    val unaudited = bnl -- allowedBnl
+    assert(unaudited.isEmpty,
+      s"unaudited BroadcastNestedLoopJoin in: $unaudited — audit the plan " +
+        "and extend allowedBnl only if the build side is provably tiny")
+    // the allowlist must not go stale either: every entry still has a BNL
+    val stale = allowedBnl -- bnl
+    assert(stale.isEmpty,
+      s"allowedBnl entries whose plan no longer has a BNL: $stale")
+  }
+}
