@@ -459,7 +459,12 @@ object Aggregates {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin) { (s, d) =>
-      timeRangeStats(Tables.events(s, d), "ts",
+      // pre-filtered source: the range predicate lands on the raw nano
+      // column and pushes into the parquet scan (see Tables.eventsInRange);
+      // timeRangeStats' own filter is then a no-op on already-bounded rows
+      timeRangeStats(
+        Tables.eventsInRange(s, d,
+          "2024-01-10 00:00:00", "2024-01-20 00:00:00"), "ts",
         "2024-01-10 00:00:00", "2024-01-20 00:00:00", "value")
     },
 
