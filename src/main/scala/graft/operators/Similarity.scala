@@ -64,6 +64,41 @@ object Similarity {
 
   val entries: Seq[Q] = Seq(
 
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // storage-reduction step a 100 TB vector corpus applies before
+    // indexing: per-vector scale = 127 / max|vᵢ| (null for a zero
+    // vector), qᵢ = round(vᵢ·scale) ∈ [-127, 127]. Map-only, exact
+    // integer outputs in both dialects (Spark round and DuckDB round are
+    // both half-away-from-zero on doubles), plus the max reconstruction
+    // error as a quality column.
+    Q("q_emb_quantize",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN NULL
+        |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |    END AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS qv,
+        |  list_max(list_transform(v, x -> abs(x - round(x * scale) / scale)))
+        |    AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("_amax",
+          expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale",
+          when(col("_amax") === 0.0, lit(null).cast("double"))
+            .otherwise(lit(127.0) / col("_amax")))
+        .select(col("vec_id"), col("scale"),
+          expr("transform(v, x -> cast(round(x * scale) AS int))").as("qv"),
+          expr("array_max(transform(v, x -> abs(x - round(x * scale) / scale)))")
+            .as("max_err"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-3 for query vectors vec_id < 10.
     Q("q_ann_brute",
       s"""WITH $duckVecs,

@@ -32,4 +32,19 @@ class SimilaritySpec extends SparkSpec {
     val both = joined.join(labels, joined("nn_id") === labels("vec_id"))
     assert(both.where("q_label <> label").count() === 0)
   }
+
+  test("int8 quantization: range, reconstruction bound, argmax saturates") {
+    val rows = SparkEntry.queries("q_emb_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val qv = r.getAs[scala.collection.Seq[Int]]("qv")
+      // every quantized value fits int8's symmetric range
+      assert(qv.forall(q => q >= -127 && q <= 127))
+      // the max-|v| component maps to exactly ±127
+      assert(qv.exists(q => math.abs(q) == 127))
+      // reconstruction error bounded by half a quantization step
+      assert(r.getAs[Double]("max_err") <= 0.5 / scale + 1e-12)
+    }
+  }
 }
