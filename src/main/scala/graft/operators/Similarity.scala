@@ -124,6 +124,60 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // Quantized brute-force search over the int8 vectors: the symmetric
+    // per-vector scales CANCEL in cosine, so the score is pure integer
+    // math — Σ(qa·qb) / (√Σqa²·√Σqb²) — deterministic across engines and
+    // 4× less data through the broadcast than the double vectors. The
+    // search shape is q_ann_brute's; the payload is the quantized corpus.
+    Q("q_ann_quantized",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN NULL
+        |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |    END AS scale
+        |  FROM e),
+        |q8 AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+        |  FROM s WHERE scale IS NOT NULL),
+        |n8 AS (SELECT vec_id, qv,
+        |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+        |  FROM q8),
+        |q AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna
+        |  FROM n8 WHERE vec_id < 10),
+        |sc AS (SELECT q.q_id, c.vec_id AS nn_id,
+        |    list_sum(list_transform(q.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+        |      / (q.qna * c.qn) AS cosine
+        |  FROM q JOIN n8 c ON c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n8 = Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .where(col("_amax") =!= 0.0)
+        .withColumn("qv",
+          expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
+        .withColumn("qn",
+          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+        .select("vec_id", "qv", "qn")
+      val q = n8.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("qn").as("qna"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"))
+        .join(broadcast(q), col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"),
+          (expr("cast(aggregate(zip_with(qa, qv, (x,y) -> x*y), cast(0 AS bigint), (a,x) -> a + x) AS double)") /
+            (col("qna") * col("qn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+
     // IVF-style pruned search: candidates restricted to the query's bucket
     // (label = given coarse centroid assignment). Equi-join on the bucket.
     Q("q_ann_ivf",
