@@ -219,30 +219,41 @@ object Similarity {
       val n = vecs(s, d)
       val nTables = 8
       val bitsPerTable = 4
-      val bucketed = (0 until nTables * bitsPerTable).foldLeft(n) { (df, j) =>
-        val arr = plane(j).mkString("array(", "D, ", "D)")
-        df.withColumn(s"bit$j",
-          when(expr(s"aggregate(zip_with(v, $arr, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)") > 0,
-            1 << (j % bitsPerTable)).otherwise(0))
-      }.withColumn("buckets", array((0 until nTables).map { t =>
-        struct(lit(t).as("t"),
-          (0 until bitsPerTable).map(b => col(s"bit${t * bitsPerTable + b}"))
-            .reduce(_ + _).as("h"))
-      }: _*))
-        .select(col("vec_id"), col("v"), col("nrm"), explode(col("buckets")).as("tb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("tb.t").as("t"), col("tb.h").as("h"))
-      val q = bucketed.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("t"), col("h"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val c = bucketed.select(col("vec_id").as("nn_id"), col("t"), col("h"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
-      c.join(broadcast(q), Seq("t", "h"))
+      // ONE higher-order pass over a 2D plane literal computes all 32 sign
+      // bits, then the 8 per-table buckets — replacing 32 separate
+      // projection columns (same flops, far fewer codegen'd expression
+      // trees). The candidate join then carries IDS ONLY; vectors join
+      // back after the distinct (the minhash-pairs lesson: payload arrays
+      // never go through the pair shuffle — the previous shape ran
+      // distinct over full double vectors).
+      val planesLit = (0 until nTables * bitsPerTable)
+        .map(j => plane(j).mkString("array(", "D, ", "D)"))
+        .mkString("array(", ", ", ")")
+      val hExpr = (0 until bitsPerTable)
+        .map(b => s"element_at(bits, ${bitsPerTable} * t + ${b + 1}) * ${1 << b}")
+        .mkString(" + ")
+      val bucketed = n
+        .select(col("vec_id"),
+          expr(s"""transform($planesLit,
+            p -> CASE WHEN aggregate(zip_with(v, p, (x,y) -> x*y),
+              cast(0 AS double), (a,x) -> a + x) > 0 THEN 1 ELSE 0 END)""")
+            .as("bits"))
+        .select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${nTables - 1}), t -> struct(t AS t, $hExpr AS h))"))
+          .as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.h").as("h"))
+      val qb = bucketed.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("t"), col("h"))
+      val cand = bucketed.select(col("vec_id").as("nn_id"), col("t"), col("h"))
+        .join(broadcast(qb), Seq("t", "h"))
         .where(col("nn_id") =!= col("q_id"))
-        .select(col("q_id"), col("nn_id"), col("cv"), col("qv"),
-          col("qn"), col("cn"))
-        .distinct()
+        .select("q_id", "nn_id").distinct()
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      cand
+        .join(n.select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
+        .join(n.select(col("vec_id").as("nn_id"),
+          col("v").as("cv"), col("nrm").as("cn")), Seq("nn_id"))
         .select(col("q_id"), col("nn_id"), cosSpark.as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
