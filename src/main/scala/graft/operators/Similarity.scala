@@ -153,17 +153,22 @@ object Similarity {
         |  FROM sc)
         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val n8 = Tables.embeddings(s, d)
-        .repartition(col("vec_id"))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
-        .where(col("_amax") =!= 0.0)
-        .withColumn("qv",
-          expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
-        .withColumn("qn",
-          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
-        .select("vec_id", "qv", "qn")
+      // quantized corpus feeds both the query and candidate sides —
+      // persist once per dir (Caches registry), like the double vecs frame
+      val n8 = graft.Caches.getOrElseUpdate(
+        s"quantized-vecs:$d:${graft.Caches.fingerprint(s, d)}",
+        Tables.embeddings(s, d)
+          .repartition(col("vec_id"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
+          .where(col("_amax") =!= 0.0)
+          .withColumn("qv",
+            expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
+          .withColumn("qn",
+            expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+          .select("vec_id", "qv", "qn")
+          .persist())
       val q = n8.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("qn").as("qna"))
       val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
