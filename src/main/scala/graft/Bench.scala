@@ -10,6 +10,12 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional comma-separated query-name filter for focused iteration
+    // (SPARK_GRAFT_ONLY=q_heat_cost,q_interval_join); full run when unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = only.fold(SparkEntry.queries.toSeq)(names =>
+      SparkEntry.queries.toSeq.filter(q => names(q._1)))
     val spark = GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -28,13 +34,13 @@ object Bench {
     // long-lived engine amortizes — measured 2-3x inflation on sub-second
     // queries. The timed pass below reflects steady-state throughput, which
     // is what the 100 TB target cares about.
-    SparkEntry.queries.toSeq.foreach { case (name, fn) => runOnce(name, fn) }
+    selected.foreach { case (name, fn) => runOnce(name, fn) }
     // Two timed passes, best-of per query: a single shared JVM accumulates
     // shuffle files / broadcast blocks whose async cleanup lands on random
     // queries (observed 2.6 s -> 17 s spikes on an otherwise stable query);
     // min-of-2 reports the query's actual steady-state cost.
-    val pass1 = SparkEntry.queries.toSeq.map { case (name, fn) => name -> runOnce(name, fn) }
-    val pass2 = SparkEntry.queries.toSeq.map { case (name, fn) => name -> runOnce(name, fn) }
+    val pass1 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+    val pass2 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }

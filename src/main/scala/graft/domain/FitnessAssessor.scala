@@ -63,8 +63,11 @@ object FitnessAssessor {
       var gapEnd: Option[java.sql.Date] = None
       var gapDays: Option[Int] = None
       for (i <- 1 until dates.length) {
-        val g = ((dates(i).getTime - dates(i - 1).getTime) /
-          (24L * 3600 * 1000)).toInt
+        // Calendar-day subtraction ((curr_d - prev_d).days in the
+        // reference) — epoch-millis division undercounts by one across a
+        // spring-forward boundary under a DST-observing JVM zone.
+        val g = java.time.temporal.ChronoUnit.DAYS.between(
+          dates(i - 1).toLocalDate, dates(i).toLocalDate).toInt
         if (g >= 7 && g > gapWeeks * 7) {
           gapWeeks = g / 7
           gapEnd = Some(dates(i))
@@ -107,18 +110,28 @@ object FitnessAssessor {
               if (r.isNullAt(0)) None else Some(r.getDouble(0)))
         }
       val hasPerf = activities.columns.contains("total_time_seconds")
-      val currentVdot = latestVo2(cutoff, None).map(Vdot.vdotFromVo2max)
+      // Reference selection (fitness_assessor.py:168-184): truthy time —
+      // a 0-second row is excluded, not sorted first into vdot=∞ — and the
+      // best row is the one with the smallest STORED avg_pace when the
+      // column exists (computed pace only as fallback for null pace rows).
+      val paceOrder =
+        if (activities.columns.contains("avg_pace_seconds_per_km"))
+          coalesce(col("avg_pace_seconds_per_km").cast("double"),
+            col("total_time_seconds") / col("total_distance_km"))
+        else col("total_time_seconds") / col("total_distance_km")
+      val currentVdot = latestVo2(cutoff, None).map(v =>
+        round1(Vdot.vdotFromVo2max(v)))
         .orElse {
           if (!hasPerf) None
           else recent
             .where(col("total_distance_km") >= 3.0 &&
-              col("total_time_seconds").isNotNull)
-            .orderBy((col("total_time_seconds") / col("total_distance_km")).asc)
+              col("total_time_seconds") > 0.0)
+            .orderBy(paceOrder.asc)
             .limit(1)
             .select("total_distance_km", "total_time_seconds").collect()
-            .headOption.map(r => Vdot.vdotFromRace(
+            .headOption.map(r => round1(Vdot.vdotFromRace(
               r.getAs[Double]("total_distance_km"),
-              r.getAs[Double]("total_time_seconds").toLong))
+              r.getAs[Double]("total_time_seconds").toLong)))
         }
       val preGapVdot = gapEnd.flatMap(end =>
         latestVo2(date_sub(lit(asOf), 7 * 24), Some(end)))

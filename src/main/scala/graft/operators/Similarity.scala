@@ -70,19 +70,28 @@ object Similarity {
     // vector), qᵢ = round(vᵢ·scale) ∈ [-127, 127]. Map-only, exact
     // integer outputs in both dialects (Spark round and DuckDB round are
     // both half-away-from-zero on doubles), plus the max reconstruction
-    // error as a quality column.
+    // error as a quality column. The quantized vector is emitted as its
+    // canonical comma-joined string (plus Σq and Σq² integer checksums):
+    // the oracle comparator sorts/hashes scalar cells, so an array column
+    // would crash it — the string IS the full vector, bit-for-bit.
     Q("q_emb_quantize",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
         |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN NULL
         |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x)))
         |    END AS scale
-        |  FROM e)
+        |  FROM e),
+        |q AS (SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv,
+        |    list_max(list_transform(v, x -> abs(x - round(x * scale) / scale)))
+        |      AS max_err
+        |  FROM s)
         |SELECT vec_id, scale,
-        |  list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS qv,
-        |  list_max(list_transform(v, x -> abs(x - round(x * scale) / scale)))
-        |    AS max_err
-        |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+        |  array_to_string(qv, ',') AS qv_str,
+        |  list_sum(qv) AS q_sum,
+        |  list_sum(list_transform(qv, x -> x * x)) AS q_sumsq,
+        |  max_err
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d)
         .repartition(col("vec_id"))
         .select(col("vec_id"),
@@ -92,8 +101,12 @@ object Similarity {
         .withColumn("scale",
           when(col("_amax") === 0.0, lit(null).cast("double"))
             .otherwise(lit(127.0) / col("_amax")))
+        .withColumn("qv",
+          expr("transform(v, x -> cast(round(x * scale) AS bigint))"))
         .select(col("vec_id"), col("scale"),
-          expr("transform(v, x -> cast(round(x * scale) AS int))").as("qv"),
+          expr("array_join(qv, ',')").as("qv_str"),
+          expr("aggregate(qv, cast(0 AS bigint), (a,x) -> a + x)").as("q_sum"),
+          expr("aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x)").as("q_sumsq"),
           expr("array_max(transform(v, x -> abs(x - round(x * scale) / scale)))")
             .as("max_err"))
         .orderBy("vec_id")

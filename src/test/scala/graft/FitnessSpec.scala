@@ -67,11 +67,31 @@ class FitnessSpec extends SparkSpec {
       (Date.valueOf("2026-06-25"), 52.0),
       (Date.valueOf("2026-07-10"), 54.0))
       .toDF("activity_date", "precise_value")
+    def r1(v: Double): Double = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_EVEN).toDouble
     val withVo2 = FitnessAssessor.assess(spark, acts, asOf, vo2max = Some(vo2))
-    assert(withVo2.currentVdot.contains(Vdot.vdotFromVo2max(54.0)))
+    // API surface returns round(vdot, 1) on BOTH paths (ADVICE r3)
+    assert(withVo2.currentVdot.contains(r1(Vdot.vdotFromVo2max(54.0))))
     // no vo2max frame: fastest >=3km performance (5 km in 1400 s)
     val fallback = FitnessAssessor.assess(spark, acts, asOf)
-    assert(fallback.currentVdot.contains(Vdot.vdotFromRace(5.0, 1400L)))
+    assert(fallback.currentVdot.contains(r1(Vdot.vdotFromRace(5.0, 1400L))))
+    // a zero-time row is EXCLUDED (reference truthy check), not sorted
+    // first into vdot = Infinity
+    val withZero = acts.union(Seq(
+      (Date.valueOf("2026-07-15"), 8.0, "tempo", Some(0.0)))
+      .toDF("activity_date", "total_distance_km", "training_type",
+        "total_time_seconds"))
+    val z = FitnessAssessor.assess(spark, withZero, asOf)
+    assert(z.currentVdot.contains(r1(Vdot.vdotFromRace(5.0, 1400L))))
+    // stored avg_pace wins over computed time/distance when present:
+    // the 10 km row carries a (stale) faster stored pace -> it is selected
+    val withPace = Seq(
+      (Date.valueOf("2026-06-20"), 10.0, "aerobic_base", Some(2940.0), Some(270.0)),
+      (Date.valueOf("2026-07-10"), 5.0, "tempo", Some(1400.0), Some(280.0)))
+      .toDF("activity_date", "total_distance_km", "training_type",
+        "total_time_seconds", "avg_pace_seconds_per_km")
+    val p = FitnessAssessor.assess(spark, withPace, asOf)
+    assert(p.currentVdot.contains(r1(Vdot.vdotFromRace(10.0, 2940L))))
     // pre-gap VDOT: gap must exist; build a gapped history with a pre-gap vo2
     val gapped = Seq(
       (Date.valueOf("2026-06-01"), 10.0, "aerobic_base", Some(3000.0)),
