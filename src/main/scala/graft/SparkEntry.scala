@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Stats.entries ++
     operators.Scalars.entries ++
     operators.TextOps.entries ++
+    operators.Sampling.entries ++
     operators.Dedup.entries ++
     operators.Similarity.entries ++
     operators.Multimodal.entries

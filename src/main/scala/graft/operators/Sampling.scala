@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for the training-data pipeline tier.
+  *
+  * Training-data curation needs samples that are (a) reproducible across
+  * runs and engines — so `rand()` is out — and (b) cheap at 100 TB — so a
+  * global sort by a random key is out. Both come from ranking rows by a
+  * FIXED integer hash of the key: the hash is data-independent, the order
+  * is total (hash, then id), and any engine computes the same sample.
+  */
+object Sampling {
+
+  /** Knuth-style multiplicative hash of an integer id — exact int64
+    * arithmetic in both dialects (products stay far below 2^63 for any
+    * realistic id), uniform enough for sampling.
+    */
+  private val HashP = 1000000007L
+  private def sampleHash(idCol: String): String =
+    s"($idCol * 2654435761) % $HashP"
+
+  /** Per-stratum sample quota. */
+  val StratumK = 20
+
+  /** Candidate-filter safety margin: a stratum keeps rows whose hash
+    * falls in the smallest `margin * k / n` fraction of hash space before
+    * the exact top-k window runs. 4× the quota makes a short stratum
+    * astronomically unlikely — and even then both engines compute the
+    * identical (short) result, so correctness never depends on the bound.
+    */
+  val Margin = 4
+
+  val entries: Seq[Q] = Seq(
+
+    // Deterministic stratified sample: exactly k docs per language,
+    // chosen by smallest id-hash. The scale shape is two-phase: per-stratum
+    // counts (one tiny aggregate) set a hash THRESHOLD that filters
+    // candidates map-side — the row_number window then ranks ~margin*k
+    // rows per stratum instead of the whole stratum. At 100 TB the window
+    // input is bounded by margin*k*|strata| rows regardless of corpus
+    // size; the naive single-phase form would shuffle the full corpus
+    // into per-stratum sorts.
+    Q("q_sample_stratified", {
+      val h = sampleHash("d.doc_id")
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |thr AS (
+         |  SELECT lang,
+         |    CASE WHEN n <= ${Margin * StratumK} THEN $HashP
+         |         ELSE CAST(ceil($HashP * ${Margin * StratumK}.0 / n) AS BIGINT)
+         |    END AS thr
+         |  FROM counts),
+         |cand AS (
+         |  SELECT d.doc_id, d.lang, $h AS h
+         |  FROM documents d JOIN thr t ON d.lang = t.lang
+         |  WHERE $h < t.thr),
+         |r AS (
+         |  SELECT doc_id, lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+         |  FROM cand)
+         |SELECT lang, rnk, doc_id FROM r WHERE rnk <= $StratumK
+         |ORDER BY lang, rnk""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val thr = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          when(col("n") <= Margin * StratumK, lit(HashP))
+            .otherwise(expr(
+              s"cast(ceil($HashP * ${Margin * StratumK}.0 / n) AS bigint)"))
+            .as("thr"))
+      val cand = docs.alias("d")
+        .join(broadcast(thr).alias("t"), Seq("lang"))
+        .withColumn("h", expr(sampleHash("d.doc_id")))
+        .where(col("h") < col("thr"))
+      val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+      cand.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= StratumK)
+        .select("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    }
+  )
+}

@@ -24,7 +24,78 @@ object TextOps {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(s => s"'$s'").mkString(", ")
 
+  /** BM25 query terms (fixed retrieval query; chosen for df spread in the
+    * synthetic corpus: ~80 % / ~80 % / ~5 % of docs).
+    */
+  private val bm25Terms = Seq("data", "join", "dup")
+
+  /** One term's BM25 contribution (k1 = 1.2, b = 0.75) over columns
+    * (tf_<t>, dl, avgdl, nd, df_<t>) — ONE string `expr()`-ed on the Spark
+    * side and spliced into the oracle, so both dialects evaluate the
+    * identical arithmetic shape. The zero-tf CASE doubles as the
+    * division guard (tf > 0 ⇒ the corpus has tokens ⇒ avgdl > 0). The
+    * final score is round(·, 6): Java's and DuckDB's `ln` differ in the
+    * last ulp on ~0.02 % of inputs (measured), and 6 dp absorbs that.
+    */
+  private def bm25TermScore(t: String): String =
+    s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
+      s"ln((nd - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+      s"(tf_$t * 2.2) / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) END)"
+  private val bm25ScoreSql = bm25Terms.map(bm25TermScore).mkString(" + ")
+
   val entries: Seq[Q] = Seq(
+
+    // BM25 ranking for a fixed term query — the retrieval scorer a
+    // training-data pipeline uses for quality-targeted selection ("find
+    // documents about X"). Shape: per-doc term frequencies come from the
+    // token array MAP-SIDE (size(filter(...)) per term — no posting-list
+    // explode, no shuffle), the corpus statistics (N, avgdl, per-term df)
+    // are ONE 1-row aggregate broadcast back, and the top-k is a
+    // TakeOrdered — so the whole query is one pass over the corpus plus a
+    // k-row presentation sort. At 100 TB this is the scan-side scorer; an
+    // inverted index only pays off once the term set is user-dynamic.
+    Q("q_bm25_rank", {
+      val tfDuck = bm25Terms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+      val dfDuck = bm25Terms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks) AS dl,
+         |    $tfDuck
+         |  FROM t),
+         |g AS (SELECT avg(dl) AS avgdl, count(*) AS nd,
+         |    $dfDuck
+         |  FROM f),
+         |sc AS (SELECT f.doc_id, round($bm25ScoreSql, 6) AS score
+         |  FROM f, g),
+         |top AS (SELECT doc_id, score FROM sc WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         |  doc_id, score
+         |FROM top ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          bm25Terms.map(t =>
+            expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$t")): _*)
+      val aggCols = avg(col("dl")).as("avgdl") +: count(lit(1)).as("nd") +:
+        bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val g = f.agg(aggCols.head, aggCols.tail: _*)
+      val top = f.crossJoin(broadcast(g))
+        .withColumn("score", expr(s"round($bm25ScoreSql, 6)"))
+        .where(col("score") > 0)
+        .orderBy(desc("score"), asc("doc_id"))
+        .select("doc_id", "score")
+        .limit(20)
+      top.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("score"), asc("doc_id"))))
+        .select("rnk", "doc_id", "score")
+        .orderBy("rnk")
+    },
 
     // Keyword insight search (reference pkg/rag/queries/insights.py:33-240:
     // substring search over payloads with limit/offset): case-insensitive

@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
   }
 
+  test("dup clusters: transitive closure over pairs, canonical = min id") {
+    // pairs on this corpus: (0,1) (0,2) (1,2) -> one cluster {0,1,2};
+    // doc 3 has no pair and stays out
+    val rows = run("q_dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false)))
+  }
+
+  test("connected components converge on a path graph (diameter > 1)") {
+    // chain 10-20-30-40 plus isolated edge 50-60: label 10 must propagate
+    // three hops — exercises the fixpoint loop beyond dense quasi-cliques
+    import spark.implicits._
+    val edges = Seq((20L, 10L), (20L, 30L), (40L, 30L), (50L, 60L))
+      .toDF("a", "b")
+    val cc = operators.GraphOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 50L, 60L -> 50L))
+  }
+
   test("minhash LSH pairs agree with exact ngram pairs on this corpus") {
     val lsh = run("q_dedup_minhash_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

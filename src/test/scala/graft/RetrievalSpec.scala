@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** BM25 semantics on a hand-built corpus — covers what the oracle can't:
+  * the scorer's ordering properties (tf saturation, idf weighting, length
+  * normalization), not just cross-engine arithmetic parity.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-bm25").toString
+    // 'data'/'join' are corpus-common; 'dup' is rare (idf signal).
+    // Docs 0/1: same length, doc 1 adds the rare term.
+    // Docs 2/3: same tf of 'dup', doc 3 is much longer (length penalty).
+    val docs = Seq(
+      (0L, "data join feeds the wide table pipeline stage", "en", "s"),
+      (1L, "data join dup feeds the wide table pipeline", "en", "s"),
+      (2L, "dup dup cleanup pass", "en", "s"),
+      (3L, "dup dup cleanup pass over many many many extra padding tokens " +
+        "stretching the document length far beyond the corpus average", "en", "s"),
+      (4L, "data data data data data data data data data data", "en", "s"),
+      (5L, "nothing relevant here at all whatsoever", "en", "s"),
+      // matched pair for the idf assertion: same length, same tf=1, the
+      // only difference is WHICH term — plus filler docs that push
+      // df(data)=6 > df(dup)=4 so 'data' really is the common term
+      (6L, "dup alpha beta gamma", "en", "s"),
+      (7L, "data alpha beta gamma", "en", "s"),
+      (8L, "data omega one two", "en", "s"),
+      (9L, "data omega three four", "en", "s"))
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private lazy val scores: Map[Long, Double] =
+    SparkEntry.queries("q_bm25_rank")(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+
+  test("rare term outweighs common terms; zero-hit docs are absent") {
+    assert(!scores.contains(5L)) // no query term at all
+    assert(scores(1L) > scores(0L)) // adds the rare 'dup' at equal length
+    // matched pair: equal length, equal tf=1 — the rare term's idf wins
+    assert(scores(6L) > scores(7L))
+  }
+
+  test("length normalization: same tf, longer doc scores lower") {
+    assert(scores(2L) > scores(3L))
+  }
+
+  test("tf saturation: 10x tf of a common term stays bounded (k1 cap)") {
+    // doc 4 has tf=10 of 'data' vs doc 0's tf=1 — BM25's saturation keeps
+    // the ratio under (k1+1) even before length effects
+    assert(scores(4L) < scores(0L) * 2.2)
+  }
+
+  test("ranks are contiguous and ordered by (score desc, doc_id)") {
+    val rows = SparkEntry.queries("q_bm25_rank")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    val resorted = rows.sortBy { case (_, id, s) => (-s, id) }
+    assert(resorted.toSeq === rows.toSeq)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling semantics that the oracle can't establish alone:
+  * the two-phase (threshold, then window) plan must equal the naive
+  * whole-stratum ranking, and the sample must be stable across runs.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def run() = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+
+  test("exactly k per stratum, ranks contiguous from 1") {
+    val rows = run().collect().map(r =>
+      (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length === operators.Sampling.StratumK, s"lang $lang")
+      assert(rs.map(_._2).sorted.toSeq === (1L to 20L), s"lang $lang ranks")
+    }
+  }
+
+  test("two-phase threshold plan equals the naive full-stratum ranking") {
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", expr("(doc_id * 2654435761) % 1000000007"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+      .where(col("rnk") <= operators.Sampling.StratumK)
+      .select("lang", "rnk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    val sampled = run().collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(sampled === naive)
+  }
+
+  test("sample is identical across repeated runs (no RNG anywhere)") {
+    val a = run().collect().toSeq
+    val b = run().collect().toSeq
+    assert(a === b)
+  }
+}

@@ -51,11 +51,16 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getAs[Double]("scale")
-      val qv = r.getAs[scala.collection.Seq[Int]]("qv")
+      // the vector travels as its canonical comma-joined string (the
+      // oracle comparator can't sort array cells) — parse it back
+      val qv = r.getAs[String]("qv_str").split(",").map(_.toLong)
       // every quantized value fits int8's symmetric range
       assert(qv.forall(q => q >= -127 && q <= 127))
       // the max-|v| component maps to exactly ±127
       assert(qv.exists(q => math.abs(q) == 127))
+      // the checksums match the string payload
+      assert(qv.sum === r.getAs[Long]("q_sum"))
+      assert(qv.map(q => q * q).sum === r.getAs[Long]("q_sumsq"))
       // reconstruction error bounded by half a quantization step
       assert(r.getAs[Double]("max_err") <= 0.5 / scale + 1e-12)
     }
