@@ -220,6 +220,28 @@ object Joins {
         .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
       " ELSE 0.3 END"
 
+  /** Salted equi join for skewed keys: the big side gets a per-row salt in
+    * [0, buckets) from `saltBy` (any expression that VARIES WITHIN a join
+    * key's rows — a row id, another column's hash; never the key itself),
+    * the small side is replicated `buckets`× with every salt value, and
+    * the join runs on (key, salt) — so a hot key's rows spread over
+    * `buckets` shuffle partitions instead of landing on one straggler
+    * task. Results are exactly the plain join's (proved by the
+    * q_salted_join oracle, which IS the plain join). Cost: the small side
+    * shuffles `buckets`× larger — size buckets to the observed skew, and
+    * prefer AQE's runtime skew-join split when it can see the stats; the
+    * explicit salt is for the 100 TB cases where the skew is known ahead
+    * of time (a boilerplate dedup key, a null-bucket foreign key) or the
+    * join sits below an operator AQE can't re-plan.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int, saltBy: Column): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(saltBy, lit(buckets)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(expr(s"sequence(0, ${buckets - 1})")))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q_join_agg",
       """SELECT c.c_mktsegment, sum(o.o_totalprice) AS total_v,
@@ -232,6 +254,28 @@ object Joins {
         .groupBy("c_mktsegment")
         .agg(sum("o_totalprice").as("total_v"), count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
+    },
+
+    // The SAME join semantics through the salt: the oracle is the plain
+    // join — a hash-identical result is the proof that salting is purely
+    // a physical rewrite. (q_join_agg broadcasts its small side; this
+    // variant is the shape for when the "small" side is too big to
+    // broadcast AND the big side's keys are skewed.)
+    Q("q_salted_join",
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  sum(o.o_totalprice) AS total_v
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      saltedJoin(orders, cust, Seq("custkey"),
+          buckets = 8, saltBy = xxhash64(col("o_orderkey")))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_v"))
+        .orderBy("c_nationkey")
     },
 
     Q("q_left_join_having",

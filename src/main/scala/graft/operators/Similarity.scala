@@ -62,6 +62,40 @@ object Similarity {
   private[operators] def plane(j: Int): Seq[Long] =
     (0 until 64).map(dim => (((j * 73L + dim * 179L) * 2654435761L) % 2001L) - 1000L)
 
+  /** Quantized int8 corpus (vec_id, qv BIGINT[64], qn) — persisted once per
+    * directory; feeds q_ann_quantized (query + candidate sides) and the
+    * k-means trainer.
+    */
+  private[graft] def quantizedVecs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"quantized-vecs:$d:${graft.Caches.fingerprint(s, d)}",
+      Tables.embeddings(s, d)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .where(col("_amax") =!= 0.0)
+        .withColumn("qv",
+          expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
+        .withColumn("qn",
+          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+        .select("vec_id", "qv", "qn")
+        .persist())
+
+  /** DuckDB CTE chain ending in `q8(vec_id, qv)` — the oracle half of
+    * [[quantizedVecs]] (qn recomputed where needed).
+    */
+  private[operators] val quantizedDuck =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN NULL
+      |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x)))
+      |    END AS scale
+      |  FROM e),
+      |q8 AS (SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+      |  FROM s WHERE scale IS NOT NULL)""".stripMargin
+
   val entries: Seq[Q] = Seq(
 
     // Symmetric int8 quantization of the embedding column — the 4×
@@ -143,15 +177,7 @@ object Similarity {
     // 4× less data through the broadcast than the double vectors. The
     // search shape is q_ann_brute's; the payload is the quantized corpus.
     Q("q_ann_quantized",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN NULL
-        |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x)))
-        |    END AS scale
-        |  FROM e),
-        |q8 AS (SELECT vec_id,
-        |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
-        |  FROM s WHERE scale IS NOT NULL),
+      s"""WITH $quantizedDuck,
         |n8 AS (SELECT vec_id, qv,
         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
         |  FROM q8),
@@ -167,21 +193,8 @@ object Similarity {
         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       // quantized corpus feeds both the query and candidate sides —
-      // persist once per dir (Caches registry), like the double vecs frame
-      val n8 = graft.Caches.getOrElseUpdate(
-        s"quantized-vecs:$d:${graft.Caches.fingerprint(s, d)}",
-        Tables.embeddings(s, d)
-          .repartition(col("vec_id"))
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
-          .where(col("_amax") =!= 0.0)
-          .withColumn("qv",
-            expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
-          .withColumn("qn",
-            expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
-          .select("vec_id", "qv", "qn")
-          .persist())
+      // persisted once per dir (Caches registry), like the double vecs frame
+      val n8 = quantizedVecs(s, d)
       val q = n8.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("qn").as("qna"))
       val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
@@ -194,6 +207,110 @@ object Similarity {
         .where(col("rnk") <= 3)
         .select("q_id", "rnk", "nn_id", "cosine")
         .orderBy("q_id", "rnk")
+    },
+
+    // K-MEANS TRAINING for IVF (2 unrolled Lloyd iterations, K=4 seeds =
+    // the lowest vec_ids): the step that turns q_ann_ivf's "given bucket
+    // id" into a TRAINED coarse quantizer. Runs on the int8 vectors so
+    // every cross-engine number is exact: centroid updates are INTEGER
+    // per-dimension sums (order-free — no float summation-order drift),
+    // centroids are exact int/count divisions, distances are sequential
+    // 64-element array folds (deterministic in both engines), and the
+    // reported distortion is kept in integer form (q_i·cnt − s_i)² until
+    // one final exact division by cnt². Assignment argmin is
+    // min(struct(dist, cid)) — a map-side-combinable aggregate, NOT a
+    // window — with the tie broken by cid.
+    //
+    // Scale shape: each iteration is one broadcast of K centroids + one
+    // groupBy(cid) with 64 partial-aggregated sums — no window, no
+    // explode, no NxK shuffle (the cross join is map-only against the
+    // broadcast). At production K (thousands) the per-dim agg columns
+    // become a typed Aggregator over array buffers; the dataflow is
+    // identical.
+    Q("q_ivf_train", {
+      val dims = 1 to 64
+      val sums = dims.map(i => s"sum(qv[$i]) AS s$i").mkString(",\n    ")
+      val cArr = dims.map(i => s"CAST(s$i AS DOUBLE) / cnt").mkString("[", ", ", "]")
+      val sArr = dims.map(i => s"s$i").mkString("[", ", ", "]")
+      val sTot = dims.map(i => s"s$i").mkString(" + ")
+      def distInt(v: String, c: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+      s"""WITH $quantizedDuck,
+         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 ORDER BY vec_id LIMIT 4),
+         |d1 AS (SELECT v.vec_id, v.qv, c.cid,
+         |    ${distInt("v.qv", "c.cv")} AS dist
+         |  FROM q8 v, c0 c),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT vec_id, qv, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) t WHERE rn = 1),
+         |u1 AS (SELECT cid, count(*) AS cnt,
+         |    $sums
+         |  FROM a1 GROUP BY cid),
+         |c1 AS (SELECT cid, $cArr AS cv FROM u1),
+         |d2 AS (SELECT v.vec_id, v.qv, c.cid,
+         |    ${distInt("v.qv", "c.cv")} AS dist
+         |  FROM q8 v, c1 c),
+         |a2 AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT vec_id, qv, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |u2 AS (SELECT cid, count(*) AS cnt,
+         |    $sums
+         |  FROM a2 GROUP BY cid),
+         |u2a AS (SELECT cid, cnt, $sTot AS sum_components, $sArr AS sv FROM u2),
+         |dn AS (SELECT a.cid,
+         |    CAST(sum(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (a.qv[i] * u.cnt - u.sv[i]) * (a.qv[i] * u.cnt - u.sv[i]))))
+         |      AS BIGINT) AS distortion_num
+         |  FROM a2 a JOIN u2a u ON a.cid = u.cid GROUP BY a.cid)
+         |SELECT u.cid, u.cnt AS n_members, u.sum_components,
+         |  dn.distortion_num,
+         |  CAST(dn.distortion_num AS DOUBLE) / (u.cnt * u.cnt) AS distortion
+         |FROM u2a u JOIN dn ON u.cid = dn.cid
+         |ORDER BY u.cid""".stripMargin
+    }) { (s, d) =>
+      val dims = 1 to 64
+      val n8 = quantizedVecs(s, d).select("vec_id", "qv")
+      val seeds = n8.orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      // distance folds: integer accumulator for int centroids, double for
+      // the updated (fractional) centroids — same index-based shape as
+      // the oracle
+      val distIntE =
+        "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), 0L, (a,x) -> a + x)"
+      val distDblE =
+        "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), cast(0 AS double), (a,x) -> a + x)"
+      def assign(cents: DataFrame, distE: String): DataFrame =
+        n8.crossJoin(broadcast(cents))
+          .withColumn("dist", expr(distE))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"),
+            first("qv").as("qv"))
+          .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+      def update(assigned: DataFrame): DataFrame = {
+        val aggCols = count(lit(1)).as("cnt") +:
+          dims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
+        assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*)
+      }
+      val u1 = update(assign(seeds, distIntE))
+      val c1 = u1.select(col("cid"),
+        expr(dims.map(i => s"cast(s$i AS double) / cnt")
+          .mkString("array(", ", ", ")")).as("cv"))
+      val a2 = assign(c1, distDblE)
+      val u2a = update(a2).select(col("cid"), col("cnt"),
+        expr(dims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
+        expr(dims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+      val dn = a2.join(broadcast(u2a.select("cid", "cnt", "sv")), Seq("cid"))
+        .withColumn("dnum", expr(
+          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) * cnt - element_at(sv,i)) * (element_at(qv,i) * cnt - element_at(sv,i))), 0L, (a,x) -> a + x)"))
+        .groupBy("cid").agg(sum("dnum").as("distortion_num"))
+      u2a.join(dn, Seq("cid"))
+        .select(col("cid"), col("cnt").as("n_members"), col("sum_components"),
+          col("distortion_num"),
+          (col("distortion_num").cast("double") / (col("cnt") * col("cnt")))
+            .as("distortion"))
+        .orderBy("cid")
     },
 
     // IVF-style pruned search: candidates restricted to the query's bucket

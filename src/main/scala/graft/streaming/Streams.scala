@@ -65,6 +65,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Watermarked tumbling-window aggregation — the streaming analog of the
+    * batch daily-load/time-bucket aggregates (q_daily_load,
+    * q_time_range_stats): per (key, window) count/sum/avg with late data
+    * folded in until the watermark closes the window. State is bounded by
+    * watermark ÷ window windows per key; with update output mode each
+    * micro-batch emits only the windows it touched. (Calendar buckets —
+    * weeks/months — deliberately stay batch date arithmetic: `window()`
+    * is fixed-duration only.)
+    */
+  def windowedLoadStream(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol)).as("total"),
+        avg(col(valCol)).as("mean"))
+      .select(col(keyCol),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("total"), col("mean"))
+
   /** Streaming incremental dedup: new documents arrive as a stream and are
     * dropped when their dedup key (sha2 of text, or a banded-MinHash key
     * exploded upstream) already exists in the STATIC seen-corpus index —

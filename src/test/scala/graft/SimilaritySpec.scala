@@ -65,4 +65,42 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("max_err") <= 0.5 / scale + 1e-12)
     }
   }
+
+  test("k-means trainer matches a driver-side Lloyd replica exactly") {
+    import org.apache.spark.sql.functions._
+    // ground truth: the same 2 unrolled iterations (K=4, seeds = lowest
+    // vec_ids, integer sums, tie -> min cid) computed scalar-side
+    val vecs = operators.Similarity.quantizedVecs(spark, sfDir)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toArray)
+      .sortBy(_._1)
+    val seeds = vecs.take(4)
+    def distTo(q: Array[Long], c: Array[Double]): Double =
+      q.indices.map(i => (q(i) - c(i)) * (q(i) - c(i))).sum
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Array[(Long, Array[Long])]] =
+      vecs.groupBy { case (_, q) =>
+        cents.map { case (cid, c) => (distTo(q, c), cid) }.min._2
+      }.map { case (cid, vs) => cid -> vs }
+    def update(a: Map[Long, Array[(Long, Array[Long])]]): Seq[(Long, Long, Array[Long])] =
+      a.toSeq.map { case (cid, vs) =>
+        val sums = Array.tabulate(64)(i => vs.map(_._2(i)).sum)
+        (cid, vs.length.toLong, sums)
+      }.sortBy(_._1)
+    val u1 = update(assign(seeds.map { case (id, q) => id -> q.map(_.toDouble) }))
+    val c1 = u1.map { case (cid, cnt, s) => cid -> s.map(_.toDouble / cnt) }
+    val a2 = assign(c1)
+    val u2 = update(a2)
+    val want = u2.map { case (cid, cnt, s) =>
+      val members = a2(cid)
+      val dn = members.map { case (_, q) =>
+        q.indices.map(i => (q(i) * cnt - s(i)) * (q(i) * cnt - s(i))).sum
+      }.sum
+      (cid, cnt, s.sum, dn, dn.toDouble / (cnt * cnt))
+    }
+    val got = SparkEntry.queries("q_ivf_train")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === vecs.length) // every vector assigned once
+  }
 }

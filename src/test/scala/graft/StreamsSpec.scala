@@ -73,5 +73,29 @@ class StreamsSpec extends SparkSpec {
       .columns.contains("__seen"))
   }
 
+  test("watermarked windowed aggregation folds late rows into their window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val agg = Streams.windowedLoadStream(
+      mem.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", window = "10 seconds", watermark = "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("wls")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(1), 5.0), (1L, ts(12), 7.0))
+      q.processAllAvailable()
+      // a LATE row for the first window, still inside the watermark —
+      // must fold into the existing window, not open a new one
+      mem.addData((1L, ts(3), 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_events, total, mean FROM wls ORDER BY window_start")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((2L, 7.0, 3.5), (1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
   private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
 }
