@@ -96,6 +96,88 @@ object Similarity {
       |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
       |  FROM s WHERE scale IS NOT NULL)""".stripMargin
 
+  // ------------------------------------------------- k-means (IVF trainer)
+
+  private val KmDims = 1 to 64
+
+  /** DuckDB CTE chain continuing [[quantizedDuck]] through 2 Lloyd
+    * iterations to `a2(vec_id, qv, cid)` (final assignment) and
+    * `u2a(cid, cnt, sum_components, sv)` (final cluster stats) — shared by
+    * the trainer and the trained-cell search oracle.
+    */
+  private val kmeansDuck: String = {
+    val sums = KmDims.map(i => s"sum(qv[$i]) AS s$i").mkString(",\n    ")
+    val cArr = KmDims.map(i => s"CAST(s$i AS DOUBLE) / cnt").mkString("[", ", ", "]")
+    val sArr = KmDims.map(i => s"s$i").mkString("[", ", ", "]")
+    val sTot = KmDims.map(i => s"s$i").mkString(" + ")
+    def distInt(v: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    s"""$quantizedDuck,
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 ORDER BY vec_id LIMIT 4),
+       |d1 AS (SELECT v.vec_id, v.qv, c.cid,
+       |    ${distInt("v.qv", "c.cv")} AS dist
+       |  FROM q8 v, c0 c),
+       |a1 AS (SELECT vec_id, qv, cid FROM (
+       |    SELECT vec_id, qv, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) t WHERE rn = 1),
+       |u1 AS (SELECT cid, count(*) AS cnt,
+       |    $sums
+       |  FROM a1 GROUP BY cid),
+       |c1 AS (SELECT cid, $cArr AS cv FROM u1),
+       |d2 AS (SELECT v.vec_id, v.qv, c.cid,
+       |    ${distInt("v.qv", "c.cv")} AS dist
+       |  FROM q8 v, c1 c),
+       |a2 AS (SELECT vec_id, qv, cid FROM (
+       |    SELECT vec_id, qv, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |u2 AS (SELECT cid, count(*) AS cnt,
+       |    $sums
+       |  FROM a2 GROUP BY cid),
+       |u2a AS (SELECT cid, cnt, $sTot AS sum_components, $sArr AS sv FROM u2)""".stripMargin
+  }
+
+  /** Spark: final k-means assignment `(vec_id, qv, cid)` after the same 2
+    * unrolled Lloyd iterations — persisted per directory (the trainer and
+    * the trained-cell search both consume it).
+    */
+  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"ivf-assign:$d:${graft.Caches.fingerprint(s, d)}", {
+        val n8 = quantizedVecs(s, d).select("vec_id", "qv")
+        val seeds = n8.orderBy("vec_id").limit(4)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        // distance folds: integer accumulator against int centroids,
+        // double against the updated (fractional) centroids — same
+        // index-based shape as the oracle
+        val distIntE =
+          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), 0L, (a,x) -> a + x)"
+        val distDblE =
+          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), cast(0 AS double), (a,x) -> a + x)"
+        def assign(cents: DataFrame, distE: String): DataFrame =
+          n8.crossJoin(broadcast(cents))
+            .withColumn("dist", expr(distE))
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("cid"))).as("m"),
+              first("qv").as("qv"))
+            .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+        val u1 = kmeansUpdate(assign(seeds, distIntE))
+        val c1 = u1.select(col("cid"),
+          expr(KmDims.map(i => s"cast(s$i AS double) / cnt")
+            .mkString("array(", ", ", ")")).as("cv"))
+        assign(c1, distDblE).persist()
+      })
+
+  /** Per-cluster count + 64 per-dimension integer sums (map-side partial
+    * aggregation; exact at any scale).
+    */
+  private def kmeansUpdate(assigned: DataFrame): DataFrame = {
+    val aggCols = count(lit(1)).as("cnt") +:
+      KmDims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
+    assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*)
+  }
+
   val entries: Seq[Q] = Seq(
 
     // Symmetric int8 quantization of the embedding column — the 4×
@@ -227,38 +309,8 @@ object Similarity {
     // broadcast). At production K (thousands) the per-dim agg columns
     // become a typed Aggregator over array buffers; the dataflow is
     // identical.
-    Q("q_ivf_train", {
-      val dims = 1 to 64
-      val sums = dims.map(i => s"sum(qv[$i]) AS s$i").mkString(",\n    ")
-      val cArr = dims.map(i => s"CAST(s$i AS DOUBLE) / cnt").mkString("[", ", ", "]")
-      val sArr = dims.map(i => s"s$i").mkString("[", ", ", "]")
-      val sTot = dims.map(i => s"s$i").mkString(" + ")
-      def distInt(v: String, c: String) =
-        s"list_sum(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
-      s"""WITH $quantizedDuck,
-         |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q8 ORDER BY vec_id LIMIT 4),
-         |d1 AS (SELECT v.vec_id, v.qv, c.cid,
-         |    ${distInt("v.qv", "c.cv")} AS dist
-         |  FROM q8 v, c0 c),
-         |a1 AS (SELECT vec_id, qv, cid FROM (
-         |    SELECT vec_id, qv, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1) t WHERE rn = 1),
-         |u1 AS (SELECT cid, count(*) AS cnt,
-         |    $sums
-         |  FROM a1 GROUP BY cid),
-         |c1 AS (SELECT cid, $cArr AS cv FROM u1),
-         |d2 AS (SELECT v.vec_id, v.qv, c.cid,
-         |    ${distInt("v.qv", "c.cv")} AS dist
-         |  FROM q8 v, c1 c),
-         |a2 AS (SELECT vec_id, qv, cid FROM (
-         |    SELECT vec_id, qv, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d2) t WHERE rn = 1),
-         |u2 AS (SELECT cid, count(*) AS cnt,
-         |    $sums
-         |  FROM a2 GROUP BY cid),
-         |u2a AS (SELECT cid, cnt, $sTot AS sum_components, $sArr AS sv FROM u2),
+    Q("q_ivf_train",
+      s"""WITH $kmeansDuck,
          |dn AS (SELECT a.cid,
          |    CAST(sum(list_sum(list_transform(generate_series(1, 64),
          |      i -> (a.qv[i] * u.cnt - u.sv[i]) * (a.qv[i] * u.cnt - u.sv[i]))))
@@ -268,39 +320,11 @@ object Similarity {
          |  dn.distortion_num,
          |  CAST(dn.distortion_num AS DOUBLE) / (u.cnt * u.cnt) AS distortion
          |FROM u2a u JOIN dn ON u.cid = dn.cid
-         |ORDER BY u.cid""".stripMargin
-    }) { (s, d) =>
-      val dims = 1 to 64
-      val n8 = quantizedVecs(s, d).select("vec_id", "qv")
-      val seeds = n8.orderBy("vec_id").limit(4)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      // distance folds: integer accumulator for int centroids, double for
-      // the updated (fractional) centroids — same index-based shape as
-      // the oracle
-      val distIntE =
-        "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), 0L, (a,x) -> a + x)"
-      val distDblE =
-        "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), cast(0 AS double), (a,x) -> a + x)"
-      def assign(cents: DataFrame, distE: String): DataFrame =
-        n8.crossJoin(broadcast(cents))
-          .withColumn("dist", expr(distE))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cid"))).as("m"),
-            first("qv").as("qv"))
-          .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
-      def update(assigned: DataFrame): DataFrame = {
-        val aggCols = count(lit(1)).as("cnt") +:
-          dims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
-        assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*)
-      }
-      val u1 = update(assign(seeds, distIntE))
-      val c1 = u1.select(col("cid"),
-        expr(dims.map(i => s"cast(s$i AS double) / cnt")
-          .mkString("array(", ", ", ")")).as("cv"))
-      val a2 = assign(c1, distDblE)
-      val u2a = update(a2).select(col("cid"), col("cnt"),
-        expr(dims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
-        expr(dims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+         |ORDER BY u.cid""".stripMargin) { (s, d) =>
+      val a2 = kmeansAssign(s, d)
+      val u2a = kmeansUpdate(a2).select(col("cid"), col("cnt"),
+        expr(KmDims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
+        expr(KmDims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
       val dn = a2.join(broadcast(u2a.select("cid", "cnt", "sv")), Seq("cid"))
         .withColumn("dnum", expr(
           "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) * cnt - element_at(sv,i)) * (element_at(qv,i) * cnt - element_at(sv,i))), 0L, (a,x) -> a + x)"))
@@ -311,6 +335,48 @@ object Similarity {
           (col("distortion_num").cast("double") / (col("cnt") * col("cnt")))
             .as("distortion"))
         .orderBy("cid")
+    },
+
+    // IVF search over the TRAINED cells: the end-to-end pipeline —
+    // quantize → train (2 Lloyd iterations) → assign → search within the
+    // query's cell. Same integer-cosine scoring as q_ann_quantized, same
+    // equi-join-on-bucket shape as q_ann_ivf, but the bucket is the
+    // trained centroid id instead of a given label. The assignment frame
+    // is the persisted one the trainer produced — at 100 TB it's the
+    // written silver index.
+    Q("q_ann_ivf_trained",
+      s"""WITH $kmeansDuck,
+         |n8t AS (SELECT vec_id, qv, cid,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM a2),
+         |q AS (SELECT vec_id AS q_id, cid, qv AS qa, qn AS qna
+         |  FROM n8t WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, c.vec_id AS nn_id,
+         |    list_sum(list_transform(q.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+         |      / (q.qna * c.qn) AS cosine
+         |  FROM q JOIN n8t c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n8t = kmeansAssign(s, d)
+        .withColumn("qn",
+          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+      val q = n8t.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cid"),
+          col("qv").as("qa"), col("qn").as("qna"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      n8t.select(col("vec_id").as("nn_id"), col("cid"), col("qv"), col("qn"))
+        .join(broadcast(q), Seq("cid"))
+        .where(col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"),
+          (expr("cast(aggregate(zip_with(qa, qv, (x,y) -> x*y), cast(0 AS bigint), (a,x) -> a + x) AS double)") /
+            (col("qna") * col("qn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
     },
 
     // IVF-style pruned search: candidates restricted to the query's bucket

@@ -103,4 +103,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(got.map(_._2).sum === vecs.length) // every vector assigned once
   }
+
+  test("trained-cell search stays inside the query's trained cluster") {
+    val cellOf = operators.Similarity.kmeansAssign(spark, sfDir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_ann_ivf_trained")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qId, nnId) = (r.getLong(0), r.getLong(2))
+      assert(cellOf(nnId) === cellOf(qId), s"$nnId left $qId's cell")
+      assert(nnId !== qId)
+    }
+  }
 }
