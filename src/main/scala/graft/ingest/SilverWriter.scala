@@ -46,6 +46,29 @@ object SilverWriter {
     n
   }
 
+  /** Bucketed silver write: hash-bucket (and sort) the table by its join
+    * key so every later equi-join or aggregation on that key is
+    * SHUFFLE-FREE — both sides arrive pre-partitioned, and Catalyst plans
+    * a SortMergeJoin with no Exchange under it (asserted in
+    * BucketingSpec). This is the 100 TB answer to the fact-to-fact joins
+    * (splits⋈activities, lineitem⋈orders) that are too big to broadcast
+    * and too hot to re-shuffle on every query: pay the shuffle ONCE at
+    * ingest, then never again. Bucket counts must match across tables
+    * meant to co-join; `buckets` therefore defaults from one shared
+    * constant rather than per-call guesses.
+    */
+  val DefaultBuckets = 32
+
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = DefaultBuckets): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Catch-up high-water-mark: the max of a date/ordering column, used to
     * bound the next incremental read (reference `db_reader.py:217-282`).
     */

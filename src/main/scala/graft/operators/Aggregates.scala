@@ -644,4 +644,32 @@ object Aggregates {
       distribution(Tables.events(s, d), "event_type").orderBy("event_type")
     }
   )
+
+  /** Sketch-based profile — the sub-linear-memory complement to [[profile]]
+    * for interactive 100 TB profiling: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, `relativeSD` standard error) and KLL-style
+    * approximate quantiles (`percentile_approx`, rank error ≤ 1/accuracy).
+    * One single-pass aggregate, fixed sketch memory per column, no
+    * (value, count) histogram materialization — the trade is bounded
+    * error, quantified against the exact profiler in AggregatesSpec. Not
+    * oracle-checked: DuckDB's approx sketches are different algorithms
+    * with different (valid) answers; cross-engine equality is the wrong
+    * contract for approximations.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String],
+      relativeSD: Double = 0.02, accuracy: Int = 10000): DataFrame = {
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+      ") AS (col_name, v)"
+    df.select(expr(stackExpr))
+      .groupBy("col_name")
+      .agg(
+        count(col("v")).as("n"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        approx_count_distinct(col("v"), relativeSD).as("approx_distinct"),
+        percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("approx_median"),
+        percentile_approx(col("v"), lit(0.99), lit(accuracy)).as("approx_p99"))
+      .orderBy("col_name")
+  }
 }

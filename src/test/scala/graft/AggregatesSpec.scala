@@ -101,4 +101,29 @@ class AggregatesSpec extends SparkSpec {
         median(col("l_extendedprice")).as("median_l_extendedprice"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("approx profile tracks the exact profiler within sketch bounds") {
+    import graft.operators.Aggregates
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_extendedprice", "l_quantity")
+    val approx = Aggregates.approxProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val exactDistinct = li.select(c).distinct().count()
+      val exactMedian = li.selectExpr(s"median(CAST($c AS DOUBLE))")
+        .first().getDouble(0)
+      val a = approx(c)
+      // HLL++ at relativeSD=0.02: allow 5 sigma
+      val ad = a.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(ad - exactDistinct) <= 0.1 * exactDistinct + 5,
+        s"$c distinct: approx $ad vs exact $exactDistinct")
+      // rank error 1/accuracy on the quantile -> value must sit between
+      // nearby exact quantiles
+      val am = a.getAs[Double]("approx_median")
+      val Array(lo, hi) = li.selectExpr(
+        s"percentile(CAST($c AS DOUBLE), array(0.49, 0.51))")
+        .first().getAs[scala.collection.Seq[Double]](0).toArray
+      assert(am >= lo && am <= hi, s"$c median: $am outside [$lo, $hi]")
+    }
+  }
 }
