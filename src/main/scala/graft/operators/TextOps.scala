@@ -119,6 +119,67 @@ object TextOps {
         .offset(10).limit(50)
     },
 
+    // Bigram language-model quality scoring — the perplexity-filtering
+    // step of a training-data pipeline: train add-1-smoothed conditional
+    // bigram probabilities ON the corpus, score each document by its mean
+    // log-probability (low = unnatural/repetitive/boilerplate text).
+    // Cross-engine float discipline: each doc's per-bigram logps are
+    // collected IN POSITION ORDER and folded sequentially (sort_array +
+    // aggregate / list(... ORDER BY pos) + list_sum) — never an unordered
+    // SUM over join rows whose summation order an engine may pick — and
+    // ln outputs are round(·, 6) (last-ulp divergence, see q_bm25_rank).
+    // Scale shape: bigram counts are one shuffle keyed on (w1, w2); the
+    // scoring join re-uses that key; the per-doc regroup collects a list
+    // bounded by the doc's own length. At 100 TB the model side would be
+    // the top-K bigrams broadcast + a default-smoothing miss path.
+    Q("q_text_lm_score",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - 1),
+         |    i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM e),
+         |c AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+         |u AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
+         |sc AS (SELECT b.doc_id, b.pos,
+         |    ln((c.n2 + 1.0) / (u.n1 + v.vocab)) AS logp
+         |  FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |         JOIN u ON b.w1 = u.w1, v),
+         |agg AS (SELECT doc_id,
+         |    list(logp ORDER BY pos) AS lps
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, len(lps) AS n_bigrams,
+         |  round(list_sum(lps) / len(lps), 6) AS avg_logp
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(i AS pos, element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.pos").as("pos"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val v = b.agg(countDistinct("w1").as("vocab"))
+      b.join(c, Seq("w1", "w2"))
+        .join(u, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("pos"),
+          expr("ln((n2 + 1.0) / (n1 + vocab))").as("logp"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
+          .as("plps"))
+        .select(col("doc_id"),
+          size(col("plps")).cast("long").as("n_bigrams"),
+          expr("round(aggregate(plps, cast(0 AS double), (a, x) -> a + x.logp) / size(plps), 6)")
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+
     Q("q_text_tokens",
       s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens,

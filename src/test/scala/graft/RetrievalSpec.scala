@@ -57,6 +57,26 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(4L) < scores(0L) * 2.2)
   }
 
+  test("LM score: corpus-typical text outscores one-off gibberish") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-lm").toString
+    // docs 0-3 share the same phrasing (frequent bigrams); doc 4 is made
+    // of bigrams that occur exactly once in the corpus
+    val docs = (0L to 3L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s")) :+
+      ((4L, "zephyr quokka librates ontic marzipan gyre", "en", "s"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val scores = SparkEntry.queries("q_text_lm_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scores(0L)._1 === 8L) // 9 tokens -> 8 bigrams
+    assert(scores(4L)._1 === 5L)
+    assert(scores(0L)._2 > scores(4L)._2, s"typical ${scores(0L)} vs rare ${scores(4L)}")
+  }
+
   test("ranks are contiguous and ordered by (score desc, doc_id)") {
     val rows = SparkEntry.queries("q_bm25_rank")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
