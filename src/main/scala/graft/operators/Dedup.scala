@@ -420,6 +420,47 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // BENCHMARK DECONTAMINATION: flag training documents sharing >= 3
+    // distinct shingles with any document of a held-out evaluation set
+    // (stand-in: doc_id < 10) — the n-gram-overlap contamination check
+    // every LLM training pipeline runs before training. Same inverted-
+    // index shape as the dedup joins: benchmark postings are TINY (the
+    // eval set) → broadcast equi-join on the shingle hash, count distinct
+    // shared shingles per (train, bench) pair, keep the max-overlap bench
+    // doc per train doc. No train-train pairing anywhere in the plan.
+    Q("q_text_decontaminate",
+      s"""WITH $shingledDuck,
+         |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
+         |bench AS (SELECT doc_id AS bench_id, hsh FROM e WHERE doc_id < 10),
+         |train AS (SELECT doc_id, hsh FROM e WHERE doc_id >= 10),
+         |ov AS (SELECT t.doc_id, bn.bench_id, count(*) AS n_shared
+         |  FROM train t JOIN bench bn ON t.hsh = bn.hsh
+         |  GROUP BY 1, 2),
+         |best AS (SELECT doc_id, bench_id, n_shared FROM (
+         |    SELECT doc_id, bench_id, n_shared,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY n_shared DESC, bench_id) AS rn
+         |    FROM ov) t WHERE rn = 1)
+         |SELECT doc_id, bench_id, n_shared, n_shared >= 3 AS contaminated
+         |FROM best ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ex = shingled(s, d).where(size(col("hs")) > 0)
+        .select(col("doc_id"), explode(col("hs")).as("hsh"))
+      val bench = ex.where(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), col("hsh"))
+      val ov = ex.where(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("hsh"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("n_shared"), asc("bench_id"))
+      ov.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"),
+          (col("n_shared") >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // 30-bit SimHash over distinct-token hashes (polyHash < 2^30, so every
     // bit position carries signal). Bit sums are generated as literal
     // expressions per bit — no nested-lambda cross-capture needed in

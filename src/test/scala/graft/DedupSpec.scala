@@ -58,6 +58,29 @@ class DedupSpec extends SparkSpec {
       (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false)))
   }
 
+  test("decontamination flags benchmark-overlapping docs, skips clean ones") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-decon").toString
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, bench, "en", "bench"), // the eval set (doc_id < 10)
+      // 10: verbatim leak of the benchmark; 11: shares one 3-gram only;
+      // 12: clean
+      (10L, s"prefix words then $bench and a suffix", "en", "s"),
+      (11L, "alpha beta gamma completely different tail content here", "en", "s"),
+      (12L, "nothing in common with the held out evaluation data", "en", "s"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq((0L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("q_text_decontaminate")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(10L)._1 >= 3 && rows(10L)._2) // verbatim leak flagged
+    assert(rows(11L)._1 === 1L && !rows(11L)._2) // one shared shingle: clean
+    assert(!rows.contains(12L)) // zero overlap -> not even a candidate
+  }
+
   test("connected components converge on a path graph (diameter > 1)") {
     // chain 10-20-30-40 plus isolated edge 50-60: label 10 must propagate
     // three hops — exercises the fixpoint loop beyond dense quasi-cliques

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_brute", // broadcast ≤10-row query set over the corpus
     "q_ann_quantized", // same broadcast query-set shape, int8 payload
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
+    "q_text_lm_score", // 1-row vocabulary size broadcast
     "q_heat_cost", // 1-row fitted betas
     "q_heat_model", // 1-row fitted betas
     "q_histogram", // 1-row min/max bounds
