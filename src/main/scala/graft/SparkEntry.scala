@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TextOps.entries ++
     operators.Sampling.entries ++
     operators.Dedup.entries ++
+    operators.Curation.entries ++
     operators.Similarity.entries ++
     operators.Multimodal.entries
 

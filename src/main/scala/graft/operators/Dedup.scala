@@ -161,10 +161,57 @@ object Dedup {
       .where(col("jaccard") >= 0.5)
   }
 
+  /** Near-dup cluster labels (id, lab) — the converged connected
+    * components over [[ngramPairs]], memoized per directory. Shared by
+    * q_dedup_cluster and the curation pipeline.
+    */
+  private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"dup-cluster-labels:$d:${graft.Caches.fingerprint(s, d)}",
+      GraphOps.connectedComponents(ngramPairs(s, d), "a_id", "b_id"))
+
+  /** Exploded (doc_id, hsh) shingle postings — shared by the decon join
+    * and the curation pipeline.
+    */
+  private[operators] def postings(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    shingled(s, d).where(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("hsh"))
+
+  /** Contaminated training doc ids (>= minShared distinct shingles shared
+    * with any doc_id < benchMax benchmark doc).
+    */
+  private[operators] def contaminatedIds(s: org.apache.spark.sql.SparkSession,
+      d: String, benchMax: Int = 10, minShared: Long = 3L): DataFrame = {
+    val ex = postings(s, d)
+    val bench = ex.where(col("doc_id") < benchMax)
+      .select(col("doc_id").as("bench_id"), col("hsh"))
+    ex.where(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("hsh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("doc_id").distinct()
+  }
+
+  /** DuckDB connected-components fixpoint over `pairs` → `cc(doc_id,
+    * cluster_id)` — continues [[ngramPairsDuck]] (requires WITH RECURSIVE).
+    */
+  private[operators] val ccDuck =
+    """und AS (SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+      |walk AS (
+      |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM und) du
+      |  UNION
+      |  SELECT e.v AS node, w.lab FROM walk w JOIN und e ON e.u = w.node),
+      |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+      |  FROM walk GROUP BY 1)""".stripMargin
+
   /** DuckDB CTE chain ending in `pairs(a_id, b_id, jaccard)` — the oracle
     * half of [[ngramPairs]], shared by q_dedup_ngram and q_dedup_cluster.
     */
-  private val ngramPairsDuck =
+  private[operators] val ngramPairsDuck =
     s"""$shingledDuck,
        |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
        |e AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
@@ -218,24 +265,15 @@ object Dedup {
     // are trivially their own cluster and stay out of both sides.
     Q("q_dedup_cluster",
       s"""WITH RECURSIVE $ngramPairsDuck,
-         |und AS (SELECT a_id AS u, b_id AS v FROM pairs
-         |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
-         |walk AS (
-         |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM und) du
-         |  UNION
-         |  SELECT e.v AS node, w.lab FROM walk w JOIN und e ON e.u = w.node),
-         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
-         |  FROM walk GROUP BY 1)
+         |$ccDuck
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
          |  doc_id = cluster_id AS is_canonical
          |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // the fixpoint loop runs driver-side actions — memoize the converged
-      // labels per directory so repeated calls (bench warm passes) reuse
-      // the persisted result instead of re-iterating
-      val labels = graft.Caches.getOrElseUpdate(
-        s"dup-cluster-labels:$d:${graft.Caches.fingerprint(s, d)}",
-        GraphOps.connectedComponents(ngramPairs(s, d), "a_id", "b_id"))
+      // the fixpoint loop runs driver-side actions — clusterLabels
+      // memoizes the converged result per directory so repeated calls
+      // (bench warm passes) reuse it instead of re-iterating
+      val labels = clusterLabels(s, d)
       val w = Window.partitionBy("cluster_id")
       labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
         .withColumn("n_members", count(lit(1)).over(w))

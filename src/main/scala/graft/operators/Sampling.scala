@@ -33,7 +33,63 @@ object Sampling {
     */
   val Margin = 4
 
+  /** Target mixture for [[entries q_sample_mixture]]: fractions over the
+    * `source` domains summing to 1 (an LLM data recipe's domain weights).
+    */
+  val MixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
   val entries: Seq[Q] = Seq(
+
+    // MIXTURE REBALANCING: realize target domain weights over the corpus —
+    // the "data recipe" step between curation and training. The largest
+    // total T with T·w_s <= n_s for every domain (so no domain runs dry)
+    // is floor(min n_s/w_s); each domain then contributes its
+    // floor(T·w_s) lowest-hash documents, reusing the deterministic
+    // id-hash ranking. Domains outside the recipe contribute nothing.
+    // Shape: per-domain counts (tiny agg) → quota per domain broadcast →
+    // the same hash-rank window as q_sample_stratified. Exactness across
+    // engines: n_s/w_s and T·w_s are IEEE-exact deterministic ops, floor
+    // of them likewise; everything else is integer.
+    Q("q_sample_mixture", {
+      val wCase = "CASE source " + MixtureWeights
+        .map { case (k, w) => s"WHEN '$k' THEN $w" }.mkString(" ") + " END"
+      val h = sampleHash("d.doc_id")
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n, $wCase AS w FROM documents d
+         |  WHERE $wCase IS NOT NULL GROUP BY source),
+         |t AS (SELECT CAST(floor(min(n / w)) AS BIGINT) AS total FROM counts),
+         |quota AS (
+         |  SELECT source, CAST(floor(t.total * w) AS BIGINT) AS k
+         |  FROM counts, t),
+         |r AS (
+         |  SELECT d.doc_id, d.source, q.k, $h AS h,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY $h, d.doc_id) AS rnk
+         |  FROM documents d JOIN quota q ON d.source = q.source)
+         |SELECT source, rnk, doc_id FROM r WHERE rnk <= k
+         |ORDER BY source, rnk""".stripMargin
+    }) { (s, d) =>
+      val wCol = MixtureWeights.foldLeft(lit(null).cast("double")) {
+        case (acc, (k, w)) => when(col("source") === k, lit(w)).otherwise(acc)
+      }
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val counts = docs.withColumn("w", wCol).where(col("w").isNotNull)
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      val total = counts.agg(
+        expr("cast(floor(min(n / w)) AS bigint)").as("total"))
+      val quota = counts.crossJoin(broadcast(total))
+        .select(col("source"),
+          expr("cast(floor(total * w) AS bigint)").as("k"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs.join(broadcast(quota), Seq("source"))
+        .withColumn("h", expr(sampleHash("doc_id")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= col("k"))
+        .select("source", "rnk", "doc_id")
+        .orderBy("source", "rnk")
+    },
 
     // Deterministic stratified sample: exactly k docs per language,
     // chosen by smallest id-hash. The scale shape is two-phase: per-stratum

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline tier: token
@@ -37,6 +38,49 @@ object TextOps {
     * final score is round(·, 6): Java's and DuckDB's `ln` differ in the
     * last ulp on ~0.02 % of inputs (measured), and 6 dp absorbs that.
     */
+  /** Fixed-order first-match curation rules → `rr(doc_id, rule_reason)`
+    * (DuckDB CTE chain; names tf/rr avoid collisions with the shingle
+    * CTEs when composed into the curation-pipeline oracle).
+    */
+  private[operators] val ruleReasonDuck: String =
+    s"""tf AS (
+       |  SELECT doc_id, length(text) AS nc, ${tokensDuck("text")} AS toks,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct
+       |  FROM documents),
+       |rr AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN nc < 50 THEN 'too_short'
+       |      WHEN len(toks) < 10 THEN 'too_few_tokens'
+       |      WHEN len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE
+       |           / len(toks) < 0.05 THEN 'low_stopword'
+       |      WHEN npunct::DOUBLE / nc > 0.10 THEN 'high_punct'
+       |      WHEN len(list_distinct(toks))::DOUBLE / len(toks) < 0.3
+       |        THEN 'repetitive'
+       |      ELSE 'kept' END AS rule_reason
+       |  FROM tf)""".stripMargin
+
+  /** Spark half of [[ruleReasonDuck]]: (doc_id, rule_reason) per document. */
+  private[operators] def filterReasons(s: SparkSession, d: String): DataFrame = {
+    val stopSpark = stop.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("toks", expr(tokensSpark("text")))
+      .repartition(col("doc_id"))
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("npunct",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+      .select(col("doc_id"),
+        when(col("nc") < 50, "too_short")
+          .when(size(col("toks")) < 10, "too_few_tokens")
+          .when(expr(s"size(filter(toks, x -> x IN ($stopSpark)))")
+            .cast("double") / size(col("toks")) < 0.05, "low_stopword")
+          .when(col("npunct").cast("double") / col("nc") > 0.10, "high_punct")
+          .when(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")) < 0.3, "repetitive")
+          .otherwise("kept").as("rule_reason"))
+  }
+
   private def bm25TermScore(t: String): String =
     s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
       s"ln((nd - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
@@ -246,44 +290,13 @@ object TextOps {
     // training-data pipeline runs before dedup): fixed-order rules with a
     // FIRST-MATCH reject reason, aggregated into the survival report a
     // pipeline operator dashboards. One pass, no shuffle beyond the final
-    // tiny group-by; doc-level decisions available via the same CASE.
+    // tiny group-by; doc-level decisions via [[filterReasons]].
     Q("q_text_filter_report",
-      s"""WITH t AS (
-         |  SELECT doc_id, length(text) AS nc, ${tokensDuck("text")} AS toks,
-         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id,
-         |    CASE
-         |      WHEN nc < 50 THEN 'too_short'
-         |      WHEN len(toks) < 10 THEN 'too_few_tokens'
-         |      WHEN len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE
-         |           / len(toks) < 0.05 THEN 'low_stopword'
-         |      WHEN npunct::DOUBLE / nc > 0.10 THEN 'high_punct'
-         |      WHEN len(list_distinct(toks))::DOUBLE / len(toks) < 0.3
-         |        THEN 'repetitive'
-         |      ELSE 'kept' END AS reason
-         |  FROM t)
-         |SELECT reason, count(*) AS n_docs
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val stopSpark = stop.map(w => s"'$w'").mkString(", ")
-      Tables.documents(s, d)
-        .withColumn("toks", expr(tokensSpark("text")))
-        .repartition(col("doc_id"))
-        .withColumn("nc", length(col("text")).cast("long"))
-        .withColumn("npunct",
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
-        .withColumn("reason",
-          when(col("nc") < 50, "too_short")
-            .when(size(col("toks")) < 10, "too_few_tokens")
-            .when(expr(s"size(filter(toks, x -> x IN ($stopSpark)))")
-              .cast("double") / size(col("toks")) < 0.05, "low_stopword")
-            .when(col("npunct").cast("double") / col("nc") > 0.10, "high_punct")
-            .when(size(array_distinct(col("toks"))).cast("double") /
-              size(col("toks")) < 0.3, "repetitive")
-            .otherwise("kept"))
-        .groupBy("reason")
+      s"""WITH $ruleReasonDuck
+         |SELECT rule_reason AS reason, count(*) AS n_docs
+         |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      filterReasons(s, d)
+        .groupBy(col("rule_reason").as("reason"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("reason")
     },

@@ -41,4 +41,19 @@ class SamplingSpec extends SparkSpec {
     val b = run().collect().toSeq
     assert(a === b)
   }
+
+  test("mixture sample realizes the recipe weights and nothing else") {
+    val rows = SparkEntry.queries("q_sample_mixture")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perSource = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // sf0.001: 25 docs/source -> T = 50, quotas 25/15/10
+    assert(perSource === Map("src0" -> 25, "src1" -> 15, "src2" -> 10))
+    // realized fractions == recipe weights exactly at this T
+    val total = perSource.values.sum.toDouble
+    operators.Sampling.MixtureWeights.foreach { case (src, w) =>
+      assert(math.abs(perSource(src) / total - w) < 0.02, src)
+    }
+    // domains outside the recipe contribute nothing
+    assert(rows.map(_._1).toSet === Set("src0", "src1", "src2"))
+  }
 }
