@@ -41,4 +41,19 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
+
+  test("per-activity silver reads prune to the activity's partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").resolve("t").toString
+    val rows = (1L to 50L).flatMap(a => (1 to 20).map(i => (a, i, i * 1.5)))
+      .toDF("activity_id", "seq_no", "value")
+    SilverWriter.upsertByPartition(rows, dir)
+    val q = spark.read.parquet(dir).where(col("activity_id") === 7)
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT as a post-scan data filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(activity_id"),
+      s"no partition pruning in:\n$plan")
+    assert(q.count() === 20)
+  }
 }
