@@ -345,4 +345,51 @@ final class Graft(val spark: SparkSession, root: String) {
       conformed(goal, "athlete_goals")
         .write.mode("append").parquet(s"$root/athlete_goals")
   }
+
+  /** Training-data pipeline tier over a corpus directory
+    * (documents.parquet / embeddings.parquet) — the beyond-reference
+    * surface for 100 TB curation. Thin wrappers: each call is the SAME
+    * implementation the oracle-checked registry queries run.
+    */
+  object pipeline {
+
+    /** Per-document first-match curation status (exact_dup > near_dup >
+      * quality rule > contaminated > kept) — and the kept corpus.
+      */
+    def curationStatuses(corpusDir: String): DataFrame =
+      graft.operators.Curation.statuses(spark, corpusDir)
+
+    /** The surviving corpus: documents whose status is 'kept'. */
+    def curated(corpusDir: String): DataFrame =
+      graft.Tables.documents(spark, corpusDir)
+        .join(curationStatuses(corpusDir).where(col("status") === "kept")
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+
+    /** Near-dup cluster labels (doc_id -> canonical cluster id). */
+    def dupClusters(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_dedup_cluster", corpusDir)
+
+    /** Deterministic per-language quota sample. */
+    def stratifiedSample(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_sample_stratified", corpusDir)
+
+    /** Realize the configured domain-mixture recipe. */
+    def mixtureSample(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_sample_mixture", corpusDir)
+
+    /** BM25 top-k for the configured term query. */
+    def bm25(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_bm25_rank", corpusDir)
+
+    /** Per-document bigram LM quality score (perplexity filter). */
+    def lmScores(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_text_lm_score", corpusDir)
+
+    /** Train the IVF coarse quantizer and search the trained cells. */
+    def annSearch(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_ann_ivf_trained", corpusDir)
+
+    private def SparkEntryQueries(name: String, d: String): DataFrame =
+      graft.SparkEntry.queries(name)(spark, d)
+  }
 }

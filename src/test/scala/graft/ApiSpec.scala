@@ -159,6 +159,22 @@ class ApiSpec extends SparkSpec {
     assert(gp.flatMap(_._2).exists(_.weeksRemaining.contains(7)))
   }
 
+  test("pipeline facade: curated corpus = kept statuses, clusters resolve") {
+    val g = new graft.api.Graft(spark, sfDir)
+    val statuses = g.pipeline.curationStatuses(sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = g.pipeline.curated(sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === statuses.filter(_._2 == "kept").keySet)
+    val clusters = g.pipeline.dupClusters(sfDir).collect()
+    assert(clusters.nonEmpty)
+    // every non-canonical member was excluded from the curated corpus
+    clusters.filter(r => !r.getBoolean(3)).foreach { r =>
+      assert(!kept.contains(r.getLong(0)), s"near-dup ${r.getLong(0)} kept")
+    }
+    assert(g.pipeline.mixtureSample(sfDir).count() === 50) // 25+15+10
+  }
+
   test("find similar workouts: band, score, interpretation") {
     val rows = g.comparisons.findSimilarWorkouts(10L, paceTolerance = 0.05,
       distanceTolerance = 0.05).collect()
