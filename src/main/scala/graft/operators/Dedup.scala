@@ -37,11 +37,9 @@ object Dedup {
     *    document. At 100 TB this frame is the thing you'd write once as a
     *    silver table; in-session, MEMORY_AND_DISK caching is its analog.
     */
-  private val shingledCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    shingledCache.getOrElseUpdate(d + "#" + s.hashCode,
+    graft.Caches.getOrElseUpdate(
+      s"shingled:$d:${graft.Caches.fingerprint(s, d)}",
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .repartition(col("doc_id"))

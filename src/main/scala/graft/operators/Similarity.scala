@@ -33,11 +33,9 @@ object Similarity {
     * partition) and persisted: every search query references the frame as
     * both the query and candidate side.
     */
-  private val vecsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private[operators] def vecs(s: SparkSession, d: String): DataFrame =
-    vecsCache.getOrElseUpdate(d + "#" + s.hashCode,
+    graft.Caches.getOrElseUpdate(
+      s"vecs:$d:${graft.Caches.fingerprint(s, d)}",
       Tables.embeddings(s, d)
         .repartition(col("vec_id"))
         .select(col("vec_id"), col("label"),
