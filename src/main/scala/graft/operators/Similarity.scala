@@ -133,7 +133,8 @@ object Similarity {
        |u2 AS (SELECT cid, count(*) AS cnt,
        |    $sums
        |  FROM a2 GROUP BY cid),
-       |u2a AS (SELECT cid, cnt, $sTot AS sum_components, $sArr AS sv FROM u2)""".stripMargin
+       |u2a AS (SELECT cid, cnt, CAST($sTot AS BIGINT) AS sum_components,
+       |  $sArr AS sv FROM u2)""".stripMargin
   }
 
   /** Spark: final k-means assignment `(vec_id, qv, cid)` after the same 2
@@ -202,8 +203,8 @@ object Similarity {
         |  FROM s)
         |SELECT vec_id, scale,
         |  array_to_string(qv, ',') AS qv_str,
-        |  list_sum(qv) AS q_sum,
-        |  list_sum(list_transform(qv, x -> x * x)) AS q_sumsq,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq,
         |  max_err
         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d)
