@@ -56,4 +56,23 @@ class AnsiRobustnessSpec extends SparkSpec {
     val rows = Aggregates.shareOfTotal(df, "k", "v").collect()
     assert(rows.forall(_.isNullAt(2)))
   }
+
+  test("connected components on an empty edge list -> empty, no crash") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(operators.GraphOps.connectedComponents(edges, "a", "b").count() === 0L)
+  }
+
+  test("degenerate corpora: BM25 / LM / mixture neither crash nor divide") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-ansi").toString
+    // all-empty texts: avgdl = 0 (the CASE guard's worst case), no
+    // bigrams, no recipe domains present
+    Seq((1L, "", "en", "zz"), (2L, "  ", "en", "zz"), (3L, "one", "en", "zz"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(SparkEntry.queries("q_bm25_rank")(spark, d).count() === 0L)
+    assert(SparkEntry.queries("q_text_lm_score")(spark, d).count() === 0L)
+    assert(SparkEntry.queries("q_sample_mixture")(spark, d).count() === 0L)
+  }
 }
