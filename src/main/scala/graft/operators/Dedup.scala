@@ -193,6 +193,24 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Rolling 10-token-window hash expressions over the token-hash array
+    * th — fold of (acc·8191 + th[i+j]) % P, j = 0..9 — shared by the
+    * copy-span pair query in both dialects. (The 3-gram shingles live in
+    * TextHash; the 10-gram roll is span-dedup-specific.)
+    */
+  private def spanRoll(el: Int => String): String =
+    (1 until 10).foldLeft(el(0))((acc, j) => s"($acc * 8191 + ${el(j)}) % $P")
+
+  private val spanSparkExpr: String =
+    s"CASE WHEN size(th) < 10 THEN array() ELSE " +
+      s"element_at(transform(array(th), t -> array_distinct(transform(" +
+      s"sequence(1, size(t) - 9), i -> ${spanRoll(j => s"element_at(t, i + $j)")}))), 1) END"
+
+  private val spanDuckExpr: String =
+    s"CASE WHEN len(th) < 10 THEN []::BIGINT[] ELSE " +
+      s"list_distinct(list_transform(generate_series(1, len(th) - 9), " +
+      s"i -> ${spanRoll(j => s"th[i + $j]")})) END"
+
   /** DuckDB connected-components fixpoint over `pairs` → `cc(doc_id,
     * cluster_id)` — continues [[ngramPairsDuck]] (requires WITH RECURSIVE).
     */
@@ -454,6 +472,37 @@ object Dedup {
         .join(exactHit, Seq("doc_id"), "left_anti")
         .join(nearHit, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
+    },
+
+    // COPY-SPAN PAIRS: documents sharing at least one 10-TOKEN window —
+    // the token-level approximation of exact-substring dedup (long spans
+    // copied between documents are what survives Jaccard-threshold dedup:
+    // two long docs sharing a paragraph have low global Jaccard but a
+    // real provenance link). 10-gram hashes roll over the SAME persisted
+    // token-hash arrays the 3-gram shingles use (pure BIGINT multiply-add
+    // per window, no re-tokenization), and the pair generation is the
+    // same inverted-index equi-join — n_spans = count of distinct shared
+    // 10-gram hashes ≈ shared-span length in tokens minus 9.
+    Q("q_dedup_span",
+      s"""WITH $shingledDuck,
+         |sp AS (SELECT doc_id, $spanDuckExpr AS sh FROM h0),
+         |e10 AS (SELECT doc_id, unnest(sh) AS hsh FROM sp WHERE len(sh) > 0),
+         |sps AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n_spans
+         |  FROM e10 a JOIN e10 b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_spans FROM sps
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val ex = shingled(s, d)
+        .select(col("doc_id"), expr(spanSparkExpr).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("hsh"))
+      ex.select(col("doc_id").as("a_id"), col("hsh"))
+        .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_spans"))
+        .orderBy("a_id", "b_id")
     },
 
     // BENCHMARK DECONTAMINATION: flag training documents sharing >= 3

@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
       (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false)))
   }
 
+  test("copy-span pairs: a shared 10-token span links docs; shorter overlap doesn't") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-span").toString
+    val span = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, s"left context then $span closing words here", "en", "s"),
+      (2L, s"totally different opening but $span and another tail", "en", "s"),
+      // shares only 6 consecutive tokens with the span -> no 10-window
+      (3L, "one two three four five six with a fresh continuation of text", "en", "s"),
+      (4L, "no overlap at all in this document body", "en", "s"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = SparkEntry.queries("q_dedup_span")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === 2L) // 11-token shared span = two 10-windows
+  }
+
   test("decontamination flags benchmark-overlapping docs, skips clean ones") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-decon").toString
