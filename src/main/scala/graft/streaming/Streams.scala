@@ -88,6 +88,45 @@ object Streams {
         col("window.end").as("window_end"),
         col("n_events"), col("total"), col("mean"))
 
+  /** Stream → silver upsert sink: each micro-batch lands through the SAME
+    * idempotent partition-overwrite path batch ingest uses
+    * (SilverWriter.upsertByPartition), so a replayed micro-batch (restart
+    * between write and commit) rewrites exactly its activities'
+    * partitions instead of appending duplicates — end-to-end
+    * effectively-once on top of an at-least-once source, with no
+    * sink-side dedup state.
+    */
+  def upsertSink(df: DataFrame, path: String, checkpointDir: String,
+      partitionCol: String = "activity_id"): Unit =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ingest.SilverWriter.upsertByPartition(batch, path, partitionCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** Watermarked stream-stream interval join: match each left event to
+    * right events on the same key within [0, `withinSeconds`] AFTER it —
+    * the streaming form of the batch interval-containment join
+    * (q_interval_join). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's buffered state
+    * expires once the other side's watermark passes the interval.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, withinSeconds: Int,
+      watermark: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .drop(r(keyCol))
+  }
+
   /** Streaming incremental dedup: new documents arrive as a stream and are
     * dropped when their dedup key (sha2 of text, or a banded-MinHash key
     * exploded upstream) already exists in the STATIC seen-corpus index —

@@ -97,5 +97,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream upsert sink: re-delivered batch overwrites, never duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-upsert")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    Seq((1L, 1, 10.0), (2L, 1, 20.0)).toDF("activity_id", "seq_no", "value")
+      .write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("activity_id", LongType),
+      StructField("seq_no", IntegerType),
+      StructField("value", DoubleType)))
+    def drain(chk: String): Unit =
+      Streams.upsertSink(
+        spark.readStream.schema(schema).parquet(src), out, chk)
+    drain(base.resolve("chk1").toString)
+    // simulate an at-least-once REPLAY: a fresh checkpoint re-delivers
+    // everything; the partition-overwrite sink must converge, not append
+    drain(base.resolve("chk2").toString)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 2)
+    assert(rows.where("activity_id = 1").count() === 1)
+  }
+
+  test("stream-stream interval join matches within the window only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoinStream(
+      lMem.toDF.toDF("activity_id", "l_ts"),
+      rMem.toDF.toDF("activity_id", "r_ts", "value"),
+      "activity_id", "l_ts", "r_ts", withinSeconds = 5)
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, ts(0)), (2L, ts(0)))
+      rMem.addData(
+        (1L, ts(3), 1.0),   // inside [0, 5] -> match
+        (1L, ts(9), 2.0),   // outside -> no match
+        (3L, ts(1), 3.0))   // wrong key -> no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT activity_id, value FROM ivj").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq === Seq((1L, 1.0)))
+    } finally q.stop()
+  }
+
   private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
 }
