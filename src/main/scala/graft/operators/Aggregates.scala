@@ -636,6 +636,28 @@ object Aggregates {
       histogram(Tables.lineitem(s, d), "l_extendedprice", 10).orderBy("bucket")
     },
 
+    // KEY-SKEW REPORT: the diagnostic that decides when a join needs
+    // salting (Joins.saltedJoin) or AQE skew handling — hottest keys with
+    // their share plus the global max/avg skew factor. One groupBy + a
+    // 1-row global aggregate broadcast back onto the top-k rows.
+    Q("q_skew_report",
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT count(*) AS n_keys, sum(cnt) AS total,
+        |    max(cnt) AS max_cnt,
+        |    max(cnt) / (sum(cnt) / CAST(count(*) AS DOUBLE)) AS skew_factor
+        |  FROM c),
+        |r AS (SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+        |  FROM c)
+        |SELECT r.rnk, r.key, r.cnt,
+        |  r.cnt / CAST(g.total AS DOUBLE) AS share,
+        |  g.n_keys, g.skew_factor
+        |FROM r, g WHERE r.rnk <= 10
+        |ORDER BY r.rnk""".stripMargin) { (s, d) =>
+      keySkew(Tables.lineitem(s, d), col("l_suppkey").as("key"), 10)
+    },
+
     Q("q_type_distribution",
       """WITH g AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
         |SELECT event_type, cnt,
@@ -644,6 +666,35 @@ object Aggregates {
       distribution(Tables.events(s, d), "event_type").orderBy("event_type")
     }
   )
+
+  /** Hottest-key report for a grouping column: top-k keys by row count
+    * with their share, plus the global key count and skew factor
+    * (max over mean rows-per-key). At 100 TB this runs BEFORE a big join
+    * ships — a skew factor in the tens means the hot keys land on one
+    * straggler task and the join wants [[Joins.saltedJoin]] or AQE skew
+    * splitting. Top-k via TakeOrdered-shaped window over the (small)
+    * per-key count frame; global stats are one broadcast row.
+    */
+  def keySkew(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    val c = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val g = c.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+      max("cnt").as("max_cnt"),
+      (max("cnt") / (sum("cnt") / count(lit(1)).cast("double")))
+        .as("skew_factor"))
+    // TakeOrdered for the top-k (never a global window over every key —
+    // the key-count frame is billions of rows at the design point), then
+    // rank the k survivors
+    val top = c.orderBy(desc("cnt"), asc("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("key"))
+    top.withColumn("rnk", row_number().over(w))
+      .crossJoin(broadcast(g))
+      .select(col("rnk"), col("key"), col("cnt"),
+        (col("cnt") / col("total").cast("double")).as("share"),
+        col("n_keys"), col("skew_factor"))
+      .orderBy("rnk")
+  }
 
   /** Sketch-based profile — the sub-linear-memory complement to [[profile]]
     * for interactive 100 TB profiling: HyperLogLog++ distinct counts

@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
     "q_text_lm_score", // 1-row vocabulary size broadcast
     "q_sample_mixture", // 1-row total-T broadcast onto per-domain counts
+    "q_skew_report", // 1-row global skew stats onto the top-k keys
     "q_heat_cost", // 1-row fitted betas
     "q_heat_model", // 1-row fitted betas
     "q_histogram", // 1-row min/max bounds
