@@ -82,6 +82,37 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Fixed-size payload chunking: one row per 64-unit chunk with its
+    // length and content hash — the layout for chunked decode/transcode/
+    // upload of media too large to process whole (each chunk is an
+    // independent unit of work, so a 4 GB video fans out over the
+    // cluster instead of pinning one task). Map-only explode; chunk
+    // hashes via the dual-dialect polyHash so dedup can run chunk-level.
+    Q("q_mm_chunks", {
+      import graft.functions.TextHash
+      s"""SELECT doc_id, chunk_idx,
+         |  length(chunk) AS n_units,
+         |  ${TextHash.polyDuck("chunk")} AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, i AS chunk_idx, substr(text, (i - 1) * 64 + 1, 64) AS chunk
+         |  FROM documents, unnest(generate_series(1,
+         |    CAST(ceil(length(text) / 64.0) AS BIGINT))) AS u(i)
+         |  WHERE length(text) > 0)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextHash
+      Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
+            .as("chunk_idx"))
+        .withColumn("chunk", expr("substring(text, cast((chunk_idx - 1) * 64 + 1 AS int), 64)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("n_units"),
+          expr(TextHash.polySpark("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Partition-batched decode -> feature columns. mapPartitions is the
     // Scala analog of mapInPandas: one decoder instance per partition,
     // payloads streamed through it without collecting to the driver.

@@ -28,4 +28,22 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(1) === meta(r.getLong(0)).toDouble)
     }
   }
+
+  test("chunking reassembles: chunk lengths sum to doc length, hashes chain") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_mm_chunks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docLens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .where(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet === docLens.keySet)
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum === docLens(id), s"doc $id chunk-length sum")
+      assert(cs.map(_._2).sorted.toSeq === (1L to cs.length), s"doc $id idx")
+      // every chunk except the last is exactly 64 units
+      assert(cs.sortBy(_._2).dropRight(1).forall(_._3 == 64L), s"doc $id sizes")
+    }
+  }
 }
