@@ -21,16 +21,17 @@ object GraphOps {
     * id. Isolated vertices never appear (they have no edges — callers
     * union them back as singleton clusters if needed).
     *
-    * Shape: label propagation to fixpoint. Each round is ONE shuffle
-    * (edges ⋈ labels on src, then a min-combine keyed on the vertex), and
-    * partial aggregation runs map-side, so a round's network cost is
-    * bounded by the label frontier, not the edge count. Rounds needed =
-    * graph diameter; near-dup clusters are dense (quasi-cliques), so the
-    * practical diameter is 2-4. For adversarially long path graphs the
-    * large-star/small-star variant (Kiveris et al., "Connected Components
-    * in MapReduce") converges in O(log n) rounds at 2 shuffles per round —
-    * the `maxIter` guard below is where it would slot in; propagation is
-    * the better constant for the dedup workload.
+    * Shape: label propagation + POINTER JUMPING to fixpoint. Each round
+    * is two shuffles — (1) push labels along edges and min-combine per
+    * vertex (partial aggregation runs map-side, so network cost is
+    * bounded by the label frontier, not the edge count); (2) compose the
+    * label map with itself (lab ← lab(lab)), which doubles the distance
+    * a label has travelled. Propagation alone needs diameter rounds — an
+    * adversarial 10^6-hop dup chain would exhaust any fixed `maxIter`
+    * and SILENTLY return unconverged labels; with the doubling step
+    * convergence is O(log diameter), so `maxIter = 25` covers diameters
+    * past 2^25 (and the loop still exits early on the fixpoint test —
+    * quasi-clique dup graphs finish in 2-3 rounds).
     *
     * Each round's labels are persisted and the previous round's are
     * unpersisted — the loop holds ONE labels frame and the edge list in
@@ -50,9 +51,27 @@ object GraphOps {
       // push every vertex's current label to its neighbours, keep the min
       val pushed = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("lab"))
-      val next = labels.union(pushed)
+      // localCheckpoint (eager) BEFORE the jump self-join, for two
+      // reasons. (1) Lineage: the jump references this frame TWICE, so an
+      // un-truncated plan doubles every round — Catalyst re-analysis goes
+      // exponential long before the data does (observed as a multi-minute
+      // stall on a 7-round graph). Checkpointing materializes the round
+      // AND cuts the plan back to a leaf; blocks live in executor storage
+      // like a cache. (2) Self-joining a frame whose plan contains a
+      // Union trips Catalyst's UnionBase constraint rewrite
+      // (NoSuchElementException in AttributeMap) after self-join
+      // dedup re-aliases one side; a leaf self-joins cleanly.
+      val propagated = labels.union(pushed)
         .groupBy("id").agg(min("lab").as("lab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jumping: lab ← min(lab, lab(lab)). Every lab value is a
+      // vertex id, and every vertex has a row, so the self-join is total
+      // (left_outer is belt-and-braces for an empty frame).
+      val next = propagated.alias("a")
+        .join(propagated.select(col("id").as("lab"), col("lab").as("lab2"))
+          .alias("b"), Seq("lab"), "left_outer")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
       // fixpoint test: did any label shrink this round? (labels only ever
       // decrease, so "no change" == converged). One count() per round —
       // the same driver action any iterative Spark job pays.

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
       50L -> 50L, 60L -> 50L))
   }
 
+  test("pointer jumping: a 64-hop chain converges inside the round budget") {
+    // diameter 63 >> maxIter 25: plain propagation would silently return
+    // unconverged labels; the lab <- lab(lab) doubling step makes this
+    // O(log diameter). Descending ids so the min label sits at the FAR
+    // end of the chain (worst case for propagation distance).
+    import spark.implicits._
+    val n = 64
+    val edges = (1 until n).map(i => (100L + n - i, 100L + n - i - 1))
+      .toDF("a", "b") // chain 163-162-...-100, min id 100 at one end
+    val cc = operators.GraphOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === n)
+    assert(cc.values.toSet === Set(100L), s"unconverged: ${cc.values.toSet}")
+  }
+
   test("minhash LSH pairs agree with exact ngram pairs on this corpus") {
     val lsh = run("q_dedup_minhash_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
