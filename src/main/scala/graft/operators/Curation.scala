@@ -82,6 +82,75 @@ object Curation {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("status")
+    },
+
+    // Sequence packing — the concat-and-chunk step that turns curated
+    // documents into fixed-token-budget training sequences: concatenate
+    // docs in deterministic (source, doc_id) order, then chunk the token
+    // stream every `budget` tokens; each doc lands at (seq_id, offset) =
+    // (start DIV budget, start MOD budget). Shape: ONE running-sum window
+    // per source — sources are independent shards, so on a cluster each
+    // packs in parallel and no global order exists (at 100 TB the
+    // partition key would be (source, day-shard) to bound any one
+    // window's run; the math is unchanged). All-integer arithmetic —
+    // bit-exact cross-engine.
+    Q("q_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(${graft.functions.TextHash.tokensDuck("text")})::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS start_tok
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, start_tok,
+         |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_offset
+         |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(expr(graft.functions.TextHash.tokensSpark("text")))
+            .cast("long").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+          expr("start_tok DIV 256").as("seq_id"),
+          (col("start_tok") % 256).as("seq_offset"))
+        .orderBy("source", "doc_id")
+    },
+
+    // Quantile-trim report — the outlier-trimming curation rule (drop the
+    // shortest/longest tails per source before training): exact
+    // interpolated P05/P95 of n_chars per source, then band counts.
+    // percentile() is an exact sort-based aggregate whose per-group state
+    // is the group's (value → count) map — bounded by the length domain,
+    // not the row count; at 100 TB swap for approx_percentile and keep
+    // the identical report shape. Percentiles are round(·, 6) BEFORE the
+    // band compare so both engines flag against the same constant.
+    Q("q_quantile_trim",
+      """WITH q AS (SELECT source,
+        |    round(quantile_cont(n_chars, 0.05), 6) AS p05,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, q.p05, q.p95,
+        |  sum(CASE WHEN d.n_chars < q.p05 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |  sum(CASE WHEN d.n_chars > q.p95 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        |  sum(CASE WHEN d.n_chars BETWEEN q.p05 AND q.p95 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM documents d JOIN q USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+      val q = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(expr("round(percentile(n_chars, 0.05), 6)").as("p05"),
+          expr("round(percentile(n_chars, 0.95), 6)").as("p95"))
+      Tables.documents(s, d)
+        .join(broadcast(q), Seq("source"))
+        .groupBy("source", "p05", "p95")
+        .agg(sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("source")
     }
   )
 }

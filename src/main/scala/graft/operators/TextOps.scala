@@ -369,6 +369,66 @@ object TextOps {
         .select(col("doc_id"), col("full_hash"),
           expr(s"array_min(${shingleHashesSpark("th")})").as("min_shingle_hash"))
         .orderBy("doc_id")
+    },
+
+    // Repetition signals (the Gopher/MassiveText repetition rules, word
+    // and bigram granularity since the synthetic corpus is single-line):
+    // fraction of tokens taken by the most frequent token, and of bigrams
+    // by the most frequent bigram — high values mark boilerplate/looping
+    // text that length- and stopword-rules miss. Shape: explode → two
+    // (doc_id, gram)-keyed counts; doc_id in the grouping key means
+    // partial aggregation runs map-side and no key is hotter than the
+    // longest single document, so the shuffle is skew-free at any corpus
+    // size. All-integer counts; the only doubles are final int/int
+    // divisions (order-free, bit-identical cross-engine).
+    Q("q_text_repetition",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, max(c)::BIGINT AS top_w, sum(c)::BIGINT AS n_toks
+         |  FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, max(c)::BIGINT AS top_b, sum(c)::BIGINT AS n_bg
+         |  FROM bc GROUP BY 1)
+         |SELECT ws.doc_id,
+         |  top_w::DOUBLE / n_toks AS top_word_frac,
+         |  top_b::DOUBLE / n_bg AS top_bigram_frac,
+         |  (top_w::DOUBLE / n_toks > 0.2
+         |   OR coalesce(top_b::DOUBLE / n_bg, 0.0) > 0.18) AS is_repetitive
+         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+         |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
+      // the tokenized frame feeds BOTH gram counts — persist barrier via
+      // the lifecycle registry (CollapseProject re-inlines a bare select)
+      val t = graft.Caches.getOrElseUpdate(
+        s"rep-toks:$d:${graft.Caches.fingerprint(s, d)}",
+        Tables.documents(s, d)
+          .withColumn("toks", expr(tokensSpark("text")))
+          .repartition(col("doc_id"))
+          .persist())
+      val ws = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top_w"), sum("c").as("n_toks"))
+      val bs = t.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top_b"), sum("c").as("n_bg"))
+      ws.join(bs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("top_w").cast("double") / col("n_toks")).as("top_word_frac"),
+          (col("top_b").cast("double") / col("n_bg")).as("top_bigram_frac"),
+          (col("top_w").cast("double") / col("n_toks") > 0.2 ||
+            coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)) > 0.18)
+            .as("is_repetitive"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -55,4 +55,63 @@ class CurationSpec extends SparkSpec {
       .map(_.getString(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(rep === st)
   }
+
+  // separate corpus for the packing/repetition/trim operators so the
+  // pipeline-status corpus above keeps its carefully balanced statuses
+  private lazy val packDir: String = {
+    val d = Files.createTempDirectory("graft-pack").toString
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam", "en", "a"), // pure loop
+      (2L, "the quick brown fox jumps over the lazy dog and runs off to the hills again", "en", "a"),
+      (3L, "one two three four five six seven eight nine ten", "en", "b"),
+      (4L, "eleven twelve thirteen fourteen", "en", "b"),
+      (5L, "go stop go stop go stop go stop", "en", "b")) // looping bigrams
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq((0L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("repetition signals: loops flagged, prose not") {
+    val rep = SparkEntry.queries("q_text_repetition")(spark, packDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(rep(1L) === ((1.0, 1.0, true))) // one token, one bigram
+    assert(!rep(2L)._3) // natural prose: top word 'the' 3/16, bigrams distinct
+    // "go stop" x4: top word 4/8 = 0.5, top bigram "go stop" 4/7
+    assert(rep(5L)._1 === 0.5)
+    assert(rep(5L)._3)
+  }
+
+  test("sequence packing: running offsets chunk the per-source token stream") {
+    val rows = SparkEntry.queries("q_pack_sequences")(spark, packDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per source, start_tok = sum of the preceding docs' n_tokens (doc_id order)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, nTok, start, seqId, off) =>
+        assert(start === cum)
+        assert(seqId === start / 256 && off === start % 256)
+        cum += nTok
+      }
+    }
+    // cross-source independence: every source starts its own stream at 0
+    assert(rows.filter(_._4 == 0L).map(_._1).toSet === Set("a", "b"))
+  }
+
+  test("quantile trim: bands partition each source and bound the tails") {
+    val rows = SparkEntry.queries("q_quantile_trim")(spark, packDir).collect()
+    val total = rows.map(r => r.getLong(3) + r.getLong(4) + r.getLong(5)).sum
+    assert(total === 5L) // every doc lands in exactly one band
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2)) // p05 <= p95
+      // trimming never drops more than the two extreme ranks per side
+      assert(r.getLong(3) <= 1 && r.getLong(4) <= 1)
+    }
+  }
 }
