@@ -603,9 +603,9 @@ object Dedup {
       val b = e.select(col("vec_id").as("b_id"), col("label"),
         col("v").as("bv"), col("nrm").as("bn"))
       // try_divide: zero-norm vectors -> NULL cosine (DuckDB /0 semantics),
-      // not an ANSI crash
+      // not an ANSI crash; codegen'd primitive-loop dot (same fold order)
       val cos = try_divide(
-        expr("aggregate(zip_with(av, bv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)"),
+        graft.functions.ArrayOps.dotDouble(col("av"), col("bv")),
         col("an") * col("bn"))
       a.join(b, Seq("label"))
         .where(col("a_id") < col("b_id"))

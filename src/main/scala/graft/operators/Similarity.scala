@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.ArrayOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object Similarity {
         .repartition(col("vec_id"))
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 AS double), (a,x) -> a + x*x))"))
+        .withColumn("nrm", sqrt(ArrayOps.dotDouble(col("v"), col("v"))))
         .persist())
 
   private val duckVecs =
@@ -49,9 +50,12 @@ object Similarity {
       |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)""".stripMargin
 
   // try_divide: a zero-norm vector yields NULL cosine (DuckDB's native /0
-  // semantics) instead of an ANSI DIVIDE_BY_ZERO crash at scale.
+  // semantics) instead of an ANSI DIVIDE_BY_ZERO crash at scale. The dot
+  // product is the codegen'd primitive loop (functions/ArrayOps) — same
+  // left-to-right fold order as the HOF chain it replaced, so oracle floats
+  // are bit-identical.
   private val cosSpark = try_divide(
-    expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), cast(0 AS double), (a,x) -> a + x)"),
+    ArrayOps.dotDouble(col("qv"), col("cv")),
     col("qn") * col("cn"))
 
   /** Deterministic hyperplane j for LSH (fixed integer lattice, no RNG —
@@ -76,7 +80,7 @@ object Similarity {
         .withColumn("qv",
           expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
         .withColumn("qn",
-          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
         .select("vec_id", "qv", "qn")
         .persist())
 
@@ -148,24 +152,24 @@ object Similarity {
         val seeds = n8.orderBy("vec_id").limit(4)
           .select(col("vec_id").as("cid"), col("qv").as("cv"))
         // distance folds: integer accumulator against int centroids,
-        // double against the updated (fractional) centroids — same
-        // index-based shape as the oracle
-        val distIntE =
-          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), 0L, (a,x) -> a + x)"
-        val distDblE =
-          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) - element_at(cv,i)) * (element_at(qv,i) - element_at(cv,i))), cast(0 AS double), (a,x) -> a + x)"
-        def assign(cents: DataFrame, distE: String): DataFrame =
+        // double against the updated (fractional) centroids — codegen'd
+        // primitive loops (ArrayOps), same sequential fold as the oracle's
+        // index-based list_sum
+        val distInt = ArrayOps.sqDistLong(col("qv"), col("cv"))
+        val distDbl = ArrayOps.sqDistDouble(
+          expr("transform(qv, x -> cast(x AS double))"), col("cv"))
+        def assign(cents: DataFrame, dist: org.apache.spark.sql.Column): DataFrame =
           n8.crossJoin(broadcast(cents))
-            .withColumn("dist", expr(distE))
+            .withColumn("dist", dist)
             .groupBy("vec_id")
             .agg(min(struct(col("dist"), col("cid"))).as("m"),
               first("qv").as("qv"))
             .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
-        val u1 = kmeansUpdate(assign(seeds, distIntE))
+        val u1 = kmeansUpdate(assign(seeds, distInt))
         val c1 = u1.select(col("cid"),
           expr(KmDims.map(i => s"cast(s$i AS double) / cnt")
             .mkString("array(", ", ", ")")).as("cv"))
-        assign(c1, distDblE).persist()
+        assign(c1, distDbl).persist()
       })
 
   /** Per-cluster count + 64 per-dimension integer sums (map-side partial
@@ -282,7 +286,7 @@ object Similarity {
       n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"))
         .join(broadcast(q), col("nn_id") =!= col("q_id"))
         .select(col("q_id"), col("nn_id"),
-          (expr("cast(aggregate(zip_with(qa, qv, (x,y) -> x*y), cast(0 AS bigint), (a,x) -> a + x) AS double)") /
+          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
             (col("qna") * col("qn"))).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
@@ -361,7 +365,7 @@ object Similarity {
          |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       val n8t = kmeansAssign(s, d)
         .withColumn("qn",
-          expr("sqrt(cast(aggregate(qv, cast(0 AS bigint), (a,x) -> a + x*x) AS double))"))
+          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
       val q = n8t.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cid"),
           col("qv").as("qa"), col("qn").as("qna"))
@@ -370,7 +374,7 @@ object Similarity {
         .join(broadcast(q), Seq("cid"))
         .where(col("nn_id") =!= col("q_id"))
         .select(col("q_id"), col("nn_id"),
-          (expr("cast(aggregate(zip_with(qa, qv, (x,y) -> x*y), cast(0 AS bigint), (a,x) -> a + x) AS double)") /
+          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
             (col("qna") * col("qn"))).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)

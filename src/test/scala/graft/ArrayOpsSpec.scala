@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.ArrayOps
+import org.apache.spark.sql.functions._
+
+/** The codegen'd vector kernels (functions/ArrayOps) must be bit-identical
+  * to the HOF folds they replaced — integer ops exactly, double ops in the
+  * same left-to-right order — and null-safe on null array inputs.
+  */
+class ArrayOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val longRows = Seq(
+    (Seq(1L, 2L, 3L), Seq(4L, -5L, 6L)),
+    (Seq(127L, -127L, 0L), Seq(-127L, 127L, 9L)),
+    (Seq(0L, 0L, 0L), Seq(0L, 0L, 0L))).toDF("a", "b")
+
+  test("dotLong matches the HOF fold exactly") {
+    val got = longRows.select(
+      ArrayOps.dotLong($"a", $"b").as("dot"),
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc + x)")
+        .as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(got.map(_.getLong(0)).toSeq === Seq(4L - 10L + 18L, -32258L + 0L, 0L))
+  }
+
+  test("sqDistLong matches the HOF fold exactly") {
+    val got = longRows.select(
+      ArrayOps.sqDistLong($"a", $"b").as("d"),
+      expr("aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, (acc,x) -> acc + x)")
+        .as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("dotDouble / sqDistDouble reproduce the sequential double fold bit-for-bit") {
+    // values chosen so summation order matters in the last ulp
+    val df = Seq(
+      (Seq(1e16, 1.0, -1e16, 3.7), Seq(1.0, 1.0, 1.0, 1.0)),
+      (Seq(0.1, 0.2, 0.3, 0.4), Seq(0.7, -0.3, 0.11, 0.0))).toDF("a", "b")
+    val got = df.select(
+      ArrayOps.dotDouble($"a", $"b").as("dot"),
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), cast(0 AS double), (acc,x) -> acc + x)")
+        .as("dothof"),
+      ArrayOps.sqDistDouble($"a", $"b").as("sq"),
+      expr("aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), cast(0 AS double), (acc,x) -> acc + x)")
+        .as("sqhof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("null array input yields null, not a crash") {
+    val df = Seq((Option(Seq(1L, 2L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+    val r = df.select(ArrayOps.dotLong($"a", $"b"),
+      ArrayOps.sqDistLong($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // force the interpreted path by evaluating the expression directly
+    def arr(xs: Long*) = Literal.create(xs, ArrayType(LongType))
+    val d = functions.DotLong(arr(2L, 3L, 5L), arr(7L, 11L, 13L))
+    assert(d.eval(null) === (14L + 33L + 65L))
+    val sq = functions.SqDistLong(arr(2L, 3L), arr(5L, 1L))
+    assert(sq.eval(null) === (9L + 4L))
+  }
+}
