@@ -151,6 +151,65 @@ object Curation {
           sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
             .otherwise(0L)).as("n_kept"))
         .orderBy("source")
+    },
+
+    // Leakage-safe train/val/test assignment: every member of a near-dup
+    // cluster gets the SAME split — assigning by raw doc_id hash leaks
+    // near-copies of val/test docs into train, the classic contamination
+    // bug a naive 90/5/5 split ships. The split key is the cluster
+    // representative (connected-components label; singletons represent
+    // themselves), so the decision is one deterministic integer per
+    // GROUP, not per doc. Shape: the cluster labels are the persisted
+    // fixpoint frame q_dedup_cluster already built; assignment is a
+    // left join + map-only CASE — no new shuffle beyond the label join.
+    Q("q_split_assign",
+      s"""WITH RECURSIVE ${Dedup.ngramPairsDuck},
+         |${Dedup.ccDuck}
+         |SELECT d.doc_id,
+         |  COALESCE(cc.cluster_id, d.doc_id) AS group_id,
+         |  CASE COALESCE(cc.cluster_id, d.doc_id) % 10
+         |    WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val labels = Dedup.clusterLabels(s, d)
+        .select(col("id").as("doc_id"), col("lab"))
+      Tables.documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("group_id", coalesce(col("lab"), col("doc_id")))
+        .select(col("doc_id"), col("group_id"),
+          when(col("group_id") % 10 === 8, "val")
+            .when(col("group_id") % 10 === 9, "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplication overlap: near-dup pair counts per
+    // (source, source) cell — the provenance diagnostic that decides
+    // which sources to drop or down-weight before mixing (a web-dump
+    // source that heavily overlaps a curated one contributes mostly
+    // duplicates). Sources are ordered canonically (least/greatest) so
+    // A↔B and B↔A land in one cell. max(jaccard) not avg: max is
+    // order-free and exact cross-engine; a float avg's summation order
+    // is not. Shape: the pair frame is the same inverted-index join the
+    // dedup queries share; the doc→source map joins once per side.
+    Q("q_source_overlap",
+      s"""WITH ${Dedup.ngramPairsDuck},
+         |m AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS source_a,
+         |  greatest(x.source, y.source) AS source_b,
+         |  count(*) AS n_pairs, max(p.jaccard) AS max_jaccard
+         |FROM pairs p
+         |JOIN m x ON p.a_id = x.doc_id
+         |JOIN m y ON p.b_id = y.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      Dedup.ngramPairs(s, d)
+        .join(m.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+        .join(m.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

@@ -139,7 +139,7 @@ object Dedup {
   /** Spark side of the inverted-index n-gram Jaccard pairs (threshold 0.5)
     * — the q_dedup_ngram plan, shared with the cluster-resolution query.
     */
-  private def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
       .where(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))

@@ -81,6 +81,20 @@ object TextOps {
           .otherwise("kept").as("rule_reason"))
   }
 
+  /** documents + token array, repartitioned off the single-file scan and
+    * persisted (lifecycle registry): shared by the repetition, vocabulary,
+    * and OOV queries — each references the token stream 1-2×, and without
+    * the barrier CollapseProject re-inlines the tokenizer regex per
+    * reference.
+    */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"rep-toks:$d:${graft.Caches.fingerprint(s, d)}",
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .persist())
+
   private def bm25TermScore(t: String): String =
     s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
       s"ln((nd - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
@@ -401,14 +415,9 @@ object TextOps {
          |   OR coalesce(top_b::DOUBLE / n_bg, 0.0) > 0.18) AS is_repetitive
          |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
          |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
-      // the tokenized frame feeds BOTH gram counts — persist barrier via
-      // the lifecycle registry (CollapseProject re-inlines a bare select)
-      val t = graft.Caches.getOrElseUpdate(
-        s"rep-toks:$d:${graft.Caches.fingerprint(s, d)}",
-        Tables.documents(s, d)
-          .withColumn("toks", expr(tokensSpark("text")))
-          .repartition(col("doc_id"))
-          .persist())
+      // the tokenized frame feeds BOTH gram counts — shared persisted
+      // frame (see tokenized())
+      val t = tokenized(s, d)
       val ws = t.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
@@ -429,6 +438,89 @@ object TextOps {
             coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)) > 0.18)
             .as("is_repetitive"))
         .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary / Zipf report: top-50 tokens by frequency with
+    // rank and corpus share — the tokenizer-design diagnostic (vocabulary
+    // head coverage) run before choosing a vocab size. Shape: explode →
+    // (token)-keyed count with map-side partial aggregation (the Zipf head
+    // IS the skew, and partial agg is exactly what absorbs it — each
+    // partition pre-collapses its 'the'-count to one row before the
+    // shuffle), then TakeOrdered(50) — never a global sort of the
+    // vocabulary — and a 1-row total broadcast for the share division.
+    // All-integer until the final exact int/int division.
+    Q("q_vocab_zipf",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT unnest(toks) AS tok FROM t),
+         |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 50)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+         |  tok, cnt, cnt::DOUBLE / total AS share
+         |FROM top, tot ORDER BY rank""".stripMargin) { (s, d) =>
+      val c = tokenized(s, d).select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum("cnt").as("total"))
+      // rank window runs over the 50 surviving rows only (post-limit)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), asc("tok"))
+      c.orderBy(desc("cnt"), asc("tok")).limit(50)
+        .crossJoin(broadcast(tot))
+        .select(row_number().over(w).cast("long").as("rank"), col("tok"),
+          col("cnt"), (col("cnt").cast("double") / col("total")).as("share"))
+        .orderBy("rank")
+    },
+
+    // Out-of-vocabulary rate per document against the corpus's own top-20
+    // token vocabulary — the coverage signal a tokenizer/vocab choice is
+    // judged by (CCNet-style: high-OOV docs are noise under a trained
+    // vocab). Two-phase: the vocab is a TakeOrdered(20) broadcast — the
+    // exploded token stream left-joins it with NO shuffle (broadcast hash
+    // join), and the per-doc rate is a (doc_id)-keyed count — skew-free
+    // because doc_id is the grouping key. Exact int/int division.
+    Q("q_oov_rate",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+         |vocab AS (SELECT tok FROM c ORDER BY cnt DESC, tok ASC LIMIT 20),
+         |j AS (SELECT e.doc_id,
+         |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM e LEFT JOIN vocab v ON e.tok = v.tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = tokenized(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+      val vocab = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(20)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      e.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
+    // Sensitive-pattern scrubbing with an audit count — the PII-masking
+    // shape (regex replace + how-many-were-masked) over the one column of
+    // this corpus that carries digit payloads (events.props). Map-only:
+    // no shuffle but the presentation sort; the pattern set extends to
+    // emails/phones/IPs unchanged. Patterns stay in the RE2 ∩ Java-regex
+    // common dialect (character classes + quantifiers, no backrefs) so
+    // both engines match identical spans.
+    Q("q_scrub_mask",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+            .as("n_masked"))
+        .orderBy("event_id")
     }
   )
 }

@@ -114,4 +114,32 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(3) <= 1 && r.getLong(4) <= 1)
     }
   }
+
+  test("split assign: near-dup pairs never straddle a split boundary") {
+    val rows = SparkEntry.queries("q_split_assign")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong === nDocs) // every doc gets a split
+    val split = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+    assert(pairs.nonEmpty) // the check is vacuous without dup pairs
+    pairs.foreach { p =>
+      val a = p.getAs[Long]("a_id"); val b = p.getAs[Long]("b_id")
+      assert(split(a) === split(b),
+        s"pair ($a, $b) split across ${split(a)}/${split(b)}")
+    }
+    // all three splits actually materialize on this corpus
+    assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "val", "test"))
+  }
+
+  test("source overlap: cells are canonically ordered and count every pair") {
+    val rows = SparkEntry.queries("q_source_overlap")(spark, sfDir).collect()
+    val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      val j = r.getAs[Double]("max_jaccard")
+      assert(j >= 0.5 && j <= 1.0) // pairs exist only at/above threshold
+    }
+  }
 }
