@@ -147,4 +147,47 @@ object Streams {
       .where(col("__seen").isNull)
       .drop("__seen")
   }
+
+  /** Input/output rows for [[personalRecordStream]]. */
+  final case class RecordEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class RecordBroken(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, prev_best: Option[Double])
+
+  /** Personal-record detection with custom keyed state
+    * (`flatMapGroupsWithState`): emit an event only when it beats the
+    * user's ALL-TIME best — the streaming analog of the reference's
+    * best-efforts extraction (pkg/analysis/best_efforts.py; batch side is
+    * `domain/BestEfforts`). This is the one streaming shape the built-in
+    * operators genuinely cannot express: the comparison is against
+    * unbounded history, so no window bounds it, and dropDuplicates has no
+    * ordering semantics — but the SUFFICIENT STATE is one double per key
+    * (the current best), which is exactly what GroupState holds.
+    *
+    * Scale: state size = 8 bytes x |users| regardless of event volume;
+    * each micro-batch shuffles only its own rows to their key's state
+    * partition. Events inside a micro-batch are processed in (ts, value)
+    * order — the iterator order Spark hands the function is otherwise
+    * unspecified.
+    */
+  def personalRecordStream(
+      events: org.apache.spark.sql.Dataset[RecordEvent])
+      : org.apache.spark.sql.Dataset[RecordBroken] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[RecordEvent], state: GroupState[Double]) =>
+          var best = state.getOption
+          val out = Seq.newBuilder[RecordBroken]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            if (best.forall(e.value > _)) {
+              out += RecordBroken(user, e.ts, e.value, best)
+              best = Some(e.value)
+            }
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

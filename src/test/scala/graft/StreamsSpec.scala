@@ -145,5 +145,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("personal-record stream: custom state survives micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val recs = Streams.personalRecordStream(
+      mem.toDF.toDF("user_id", "ts", "value").as[Streams.RecordEvent])
+    val q = recs.writeStream.format("memory").queryName("prs")
+      .outputMode("append").start()
+    try {
+      // batch 1: first value is always a record; the later higher value
+      // too; the dip between them is not. user 2 is independent state.
+      mem.addData((1L, ts(1), 3.0), (1L, ts(2), 5.0), (1L, ts(3), 4.0),
+        (2L, ts(1), 9.0))
+      q.processAllAvailable()
+      // batch 2: 4.9 < the 5.0 best carried in state -> silent;
+      // 7.0 beats it -> emitted with prev_best = 5.0
+      mem.addData((1L, ts(10), 4.9), (1L, ts(11), 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, value, prev_best FROM prs ORDER BY user_id, value")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(rows.toSeq === Seq(
+        (1L, 3.0, None), (1L, 5.0, Some(3.0)), (1L, 7.0, Some(5.0)),
+        (2L, 9.0, None)))
+    } finally q.stop()
+  }
+
   private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
 }
