@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *  - IVF prunes candidates with an equi-join on the bucket id (label here,
   *    a trained centroid id in production) — the join is hash-partitioned
   *    on the bucket, so each cell is scanned by exactly one task.
-  *  - LSH replaces the bucket id with sign-bit hyperplane hashes; identical
-  *    join shape. Not oracle-checked (DuckDB parity of 8x64 float dot
-  *    products is brittle); correctness = recall bound in ScalaTest.
+  *  - LSH replaces the bucket id with sign-bit hyperplane hashes over the
+  *    int8 quantized vectors; identical join shape. All-integer bits and
+  *    scoring make it fully oracle-checked (the float-vector variant was
+  *    rows-only); ScalaTest additionally asserts the recall floor.
   */
 object Similarity {
 
@@ -411,16 +412,55 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
-    // Random-hyperplane LSH: 8 hash tables x 4 sign bits. A candidate is
-    // anything sharing ANY table's bucket with the query (exploded
-    // (table, bucket) equi-join + distinct — the standard multi-table LSH
-    // layout on Spark). Recall@3 on this corpus: 0.17 with a single 8-bit
-    // table, 0.53 with 4x4, 0.8 with 8x4 — the corpus has no genuinely
-    // close pairs (max cosine ~0.5), which is LSH's worst case; with real
-    // near-dup vectors fewer tables suffice. Rows-only check here;
-    // SimilaritySpec asserts the recall floor vs brute force.
-    Q.noOracle("q_ann_lsh") { (s, d) =>
-      val n = vecs(s, d)
+    // Random-hyperplane LSH: 8 hash tables x 4 sign bits over the INT8
+    // quantized vectors. A candidate is anything sharing ANY table's
+    // bucket with the query (exploded (table, bucket) equi-join +
+    // distinct — the standard multi-table LSH layout on Spark). Running
+    // the hash on qv instead of the double vectors makes every bit an
+    // integer-dot SIGN — bit-exact in both engines — and the candidate
+    // scoring the same all-integer cosine as q_ann_quantized, so the
+    // whole query is deterministically oracle-checkable (it was rows-only
+    // while the bits came from 64-float dot products). The per-vector
+    // quantization scale is positive, so sign(qv·p) = sign(v·p) except
+    // where rounding flips a near-zero projection — recall@3 vs exact
+    // brute force stays 0.8 on this corpus (SimilaritySpec floor 0.5;
+    // the corpus' max cosine ~0.5 is LSH's worst case).
+    Q("q_ann_lsh", {
+      val planesDuck = (0 until 32)
+        .map(j => plane(j).mkString("[", ", ", "]"))
+        .mkString("[", ",\n         |    ", "]")
+      val hDuck = (0 until 4)
+        .map(b => s"bt[4 * t + ${b + 1}] * ${1 << b}")
+        .mkString(" + ")
+      s"""WITH $quantizedDuck,
+         |n8 AS (SELECT vec_id, qv,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM q8),
+         |bits AS (SELECT vec_id, list_transform(
+         |    $planesDuck,
+         |    p -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |      i -> qv[i] * p[i])) > 0 THEN 1 ELSE 0 END) AS bt
+         |  FROM n8),
+         |tb AS (SELECT vec_id, unnest(list_transform(generate_series(0, 7),
+         |    t -> {'t': t, 'h': $hDuck})) AS s
+         |  FROM bits),
+         |bk AS (SELECT vec_id, s.t AS t, s.h AS h FROM tb),
+         |qb AS (SELECT vec_id AS q_id, t, h FROM bk WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT c.vec_id AS nn_id, q.q_id
+         |  FROM bk c JOIN qb q ON c.t = q.t AND c.h = q.h
+         |  WHERE c.vec_id <> q.q_id),
+         |sc AS (SELECT cand.q_id, cand.nn_id,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn) AS cosine
+         |  FROM cand JOIN n8 a ON cand.q_id = a.vec_id
+         |            JOIN n8 b ON cand.nn_id = b.vec_id),
+         |r AS (SELECT q_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val n = quantizedVecs(s, d)
       val nTables = 8
       val bitsPerTable = 4
       // ONE higher-order pass over a 2D plane literal computes all 32 sign
@@ -428,10 +468,9 @@ object Similarity {
       // projection columns (same flops, far fewer codegen'd expression
       // trees). The candidate join then carries IDS ONLY; vectors join
       // back after the distinct (the minhash-pairs lesson: payload arrays
-      // never go through the pair shuffle — the previous shape ran
-      // distinct over full double vectors).
+      // never go through the pair shuffle).
       val planesLit = (0 until nTables * bitsPerTable)
-        .map(j => plane(j).mkString("array(", "D, ", "D)"))
+        .map(j => plane(j).mkString("array(", "L, ", "L)"))
         .mkString("array(", ", ", ")")
       val hExpr = (0 until bitsPerTable)
         .map(b => s"element_at(bits, ${bitsPerTable} * t + ${b + 1}) * ${1 << b}")
@@ -439,8 +478,8 @@ object Similarity {
       val bucketed = n
         .select(col("vec_id"),
           expr(s"""transform($planesLit,
-            p -> CASE WHEN aggregate(zip_with(v, p, (x,y) -> x*y),
-              cast(0 AS double), (a,x) -> a + x) > 0 THEN 1 ELSE 0 END)""")
+            p -> CASE WHEN aggregate(zip_with(qv, p, (x,y) -> x*y),
+              cast(0 AS bigint), (a,x) -> a + x) > 0 THEN 1 ELSE 0 END)""")
             .as("bits"))
         .select(col("vec_id"), explode(expr(
           s"transform(sequence(0, ${nTables - 1}), t -> struct(t AS t, $hExpr AS h))"))
@@ -455,10 +494,11 @@ object Similarity {
       val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
       cand
         .join(n.select(col("vec_id").as("q_id"),
-          col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
-        .join(n.select(col("vec_id").as("nn_id"),
-          col("v").as("cv"), col("nrm").as("cn")), Seq("nn_id"))
-        .select(col("q_id"), col("nn_id"), cosSpark.as("cosine"))
+          col("qv").as("qa"), col("qn").as("qna")), Seq("q_id"))
+        .join(n.select(col("vec_id").as("nn_id"), col("qv"), col("qn")), Seq("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+            (col("qna") * col("qn"))).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .select("q_id", "rnk", "nn_id", "cosine")

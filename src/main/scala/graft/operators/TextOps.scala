@@ -230,8 +230,13 @@ object TextOps {
       val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
       val v = b.agg(countDistinct("w1").as("vocab"))
-      b.join(c, Seq("w1", "w2"))
-        .join(u, Seq("w1"))
+      // the MODEL side is vocab-bounded (n2: |V|², n1: |V|) while the
+      // probe side is the full bigram stream — broadcast the model so the
+      // stream is never shuffled on token keys (its only shuffle is the
+      // per-doc regroup); this is the same broadcast-the-model shape the
+      // 100 TB top-K variant uses
+      b.join(broadcast(c), Seq("w1", "w2"))
+        .join(broadcast(u), Seq("w1"))
         .crossJoin(broadcast(v))
         .select(col("doc_id"), col("pos"),
           expr("ln((n2 + 1.0) / (n1 + vocab))").as("logp"))
