@@ -27,6 +27,47 @@ object Stats {
   /** Epoch second of 2024-01-01, the x-centering constant for event trends. */
   private val X0 = 1704067200L
 
+  /** Exact two-sided 5 % t critical values for df = 1..30 (97.5th
+    * percentile; standard public table, generated via commons-math).
+    */
+  private val tCrit975Small: Seq[Double] = Seq(
+    12.706205, 4.302653, 3.182446, 2.776445, 2.570582, 2.446912, 2.364624,
+    2.306004, 2.262157, 2.228139, 2.200985, 2.178813, 2.160369, 2.144787,
+    2.131450, 2.119905, 2.109816, 2.100922, 2.093024, 2.085963, 2.079614,
+    2.073873, 2.068658, 2.063899, 2.059539, 2.055529, 2.051831, 2.048407,
+    2.045230, 2.042272)
+
+  /** SQL fragment: t_crit(df, 0.975) — exact table for df ≤ 30, else the
+    * Cornish-Fisher expansion z + c1/df + c2/df² + c3/df³ (constants from
+    * commons-math; max abs error 1.8e-6 over df ≥ 31). Pure literals and
+    * +·/ arithmetic → bit-identical in Spark and DuckDB.
+    */
+  private def tCritSql(df: String): String = {
+    val cases = tCrit975Small.zipWithIndex
+      .map { case (v, i) => s"WHEN $df = ${i + 1} THEN $v" }.mkString(" ")
+    s"(CASE $cases ELSE 1.959963984540054 + 2.372271230298562 / $df" +
+      s" + 2.8224986157396112 / ($df * $df)" +
+      s" + 2.555849679507722 / ($df * $df * $df) END)"
+  }
+
+  /** t statistic of a correlation r over n points (NULL off the domain:
+    * r NULL or |r| = 1, where t diverges). Shared by both dialects.
+    */
+  private val trendTSql: String =
+    "CASE WHEN r IS NULL OR r * r >= 1.0 THEN NULL " +
+      "ELSE r * sqrt((n - 2) / (1.0 - r * r)) END"
+
+  /** Trend classification CASE over columns (slope, r, n, t_stat):
+    * |t| < crit(n-2) ⟺ p > 0.05 → stable; else sign(slope). The |r| = 1
+    * degenerate (t → ∞, p → 0) is significant by construction.
+    */
+  private val trendDirSql: String =
+    "CASE WHEN n < 3 OR r IS NULL THEN 'insufficient' " +
+      "WHEN r * r >= 1.0 THEN " +
+      "(CASE WHEN slope > 0 THEN 'improving' ELSE 'declining' END) " +
+      s"WHEN abs(t_stat) < ${tCritSql("(n - 2)")} THEN 'stable' " +
+      "WHEN slope > 0 THEN 'improving' ELSE 'declining' END"
+
   /** ACWR (acute:chronic workload ratio, training_load.py:38-120): 7-day
     * acute sum over 28-day chronic mean on a per-key daily-load frame, with
     * the reference's classification bands.
@@ -275,22 +316,44 @@ object Stats {
         .orderBy("user_id")
     },
 
-    // p-value needs a t-CDF, which DuckDB lacks → rows-only check; the
-    // slope/r²/n components are oracle-checked via q_linreg above.
-    Q.noOracle("q_trend_class") { (s, d) =>
+    // Trend classification at the 5 % level WITHOUT a t-CDF: two-sided
+    // p > 0.05 ⟺ |t| < t_crit(df, 0.975), and the critical value is plain
+    // data — an exact table for df ≤ 30 plus the Cornish-Fisher asymptotic
+    // expansion z + c1/df + c2/df² + c3/df³ (max abs error 1.8e-6 for
+    // df ≥ 31, far inside any boundary) — so BOTH engines classify with
+    // the identical arithmetic and the query is fully oracle-checked
+    // (it was rows-only while the classifier needed the t-CDF; exact
+    // p-values remain on the ScalaTest'd domain layer, StudentT /
+    // TrendFragility). corr() NaN (zero-variance value) is normalized to
+    // NULL to match DuckDB before anything touches it.
+    Q("q_trend_class",
+      s"""WITH g AS (
+        |  SELECT user_id, regr_slope(value, x) AS slope, corr(value, x) AS r0,
+        |    CAST(regr_count(value, x) AS BIGINT) AS n
+        |  FROM (SELECT user_id, value,
+        |          CAST(epoch_ms(ts)//1000 - $X0 AS DOUBLE) AS x FROM events) t
+        |  GROUP BY 1),
+        |s AS (SELECT user_id, slope, n,
+        |    CASE WHEN isnan(r0) THEN NULL ELSE r0 END AS r FROM g),
+        |w AS (SELECT user_id, slope, n, r, $trendTSql AS t_stat FROM s)
+        |SELECT user_id, slope, t_stat, n, $trendDirSql AS direction
+        |FROM w ORDER BY user_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .withColumn("x", (unix_timestamp(col("ts")) - X0).cast("double"))
         .groupBy("user_id")
         .agg(
           regr_slope(col("value"), col("x")).as("slope"),
-          corr(col("value"), col("x")).as("r"),
-          regr_count(col("value"), col("x")).as("n"))
-        .withColumn("p_value", StudentT.corrPValue(col("r"), col("n")))
-        .withColumn("direction",
-          when(col("n") < 3 || col("p_value").isNull, "insufficient")
-            .when(col("p_value") > 0.05, "stable")
-            .when(col("slope") > 0, "improving")
-            .otherwise("declining"))
+          // NOT corr(): Spark's corr throws DIVIDE_BY_ZERO under ANSI on a
+          // zero-variance series (a constant-metric user would kill the
+          // whole job); the try_divide co-moment form yields NULL there —
+          // exactly DuckDB corr's semantics — and the same value elsewhere
+          try_divide(covar_pop(col("value"), col("x")),
+            stddev_pop(col("value")) * stddev_pop(col("x"))).as("r0"),
+          regr_count(col("value"), col("x")).cast("long").as("n"))
+        .withColumn("r", when(isnan(col("r0")), lit(null)).otherwise(col("r0")))
+        .withColumn("t_stat", expr(trendTSql))
+        .select(col("user_id"), col("slope"), col("t_stat"), col("n"),
+          expr(trendDirSql).as("direction"))
         .orderBy("user_id")
     },
 
