@@ -91,6 +91,54 @@ object Sampling {
         .orderBy("source", "rnk")
     },
 
+    // TEMPERATURE-FLATTENED MIXTURE REPORT: derive the domain weights
+    // from the corpus itself, w_s = n_s^α / Σ n_t^α with α = 0.5 — the
+    // multilingual/multi-source up-sampling recipe (α < 1 lifts
+    // low-resource sources toward parity; α = 1 is proportional, α = 0
+    // uniform). Emits per source: raw share, flattened weight, the
+    // up/down-sampling factor w_s/share_s, and the replacement-free quota
+    // floor(T·w_s) at the largest total T no source exhausts. Float
+    // discipline: α = 0.5 is computed as sqrt (correctly-rounded IEEE op,
+    // bit-exact in both engines — pow(x, 0.5) is NOT), and the cross-
+    // source Σ√n folds over a source-ordered list, never an unordered
+    // SUM. Scale shape: everything after the per-source count (one
+    // shuffle) is math on |sources| rows.
+    Q("q_mixture_temperature", {
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    list_sum(list(sqrt(n::DOUBLE) ORDER BY source)) AS ssum
+         |  FROM counts),
+         |w AS (SELECT c.source, c.n, t.nn,
+         |    sqrt(c.n::DOUBLE) / t.ssum AS w_temp
+         |  FROM counts c, tot t),
+         |tt AS (SELECT CAST(floor(min(n / w_temp)) AS BIGINT) AS total FROM w)
+         |SELECT w.source, w.n,
+         |  w.n::DOUBLE / w.nn AS share_raw, w.w_temp,
+         |  w.w_temp / (w.n::DOUBLE / w.nn) AS boost,
+         |  CAST(floor(tt.total * w.w_temp) AS BIGINT) AS quota
+         |FROM w, tt ORDER BY w.source""".stripMargin
+    }) { (s, d) =>
+      val counts = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("nn"),
+        sort_array(collect_list(struct(col("source"),
+          sqrt(col("n").cast("double")).as("sq")))).as("sqs"))
+        .select(col("nn"),
+          expr("aggregate(sqs, cast(0 AS double), (a, x) -> a + x.sq)")
+            .as("ssum"))
+      val w = counts.crossJoin(broadcast(tot))
+        .withColumn("w_temp", sqrt(col("n").cast("double")) / col("ssum"))
+      val t = w.agg(expr("cast(floor(min(n / w_temp)) AS bigint)").as("total"))
+      w.crossJoin(broadcast(t))
+        .select(col("source"), col("n"),
+          (col("n").cast("double") / col("nn")).as("share_raw"),
+          col("w_temp"),
+          (col("w_temp") / (col("n").cast("double") / col("nn"))).as("boost"),
+          expr("cast(floor(total * w_temp) AS bigint)").as("quota"))
+        .orderBy("source")
+    },
+
     // Deterministic stratified sample: exactly k docs per language,
     // chosen by smallest id-hash. The scale shape is two-phase: per-stratum
     // counts (one tiny aggregate) set a hash THRESHOLD that filters

@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
     "q_text_lm_score", // 1-row vocabulary size broadcast
     "q_sample_mixture", // 1-row total-T broadcast onto per-domain counts
+    "q_mixture_temperature", // 1-row Σ√n and total-T onto per-source rows
     "q_skew_report", // 1-row global skew stats onto the top-k keys
     "q_heat_cost", // 1-row fitted betas
     "q_heat_model", // 1-row fitted betas
@@ -29,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_ivf_trained", // same K=4 centroid broadcast via kmeansAssign
     "q_similarity_score", // 1-row target
     "q_type_distribution", // 1-row total
+    "q_vocab_zipf", // 1-row corpus token total onto the top-50 rows
     "q_zone_distribution") // 1-row total
 
   test("no cartesian products; nested-loop joins only in the audited set") {

@@ -56,4 +56,25 @@ class SamplingSpec extends SparkSpec {
     // domains outside the recipe contribute nothing
     assert(rows.map(_._1).toSet === Set("src0", "src1", "src2"))
   }
+
+  test("temperature mixture: weights sum to 1 and flatten toward uniform") {
+    val rows = SparkEntry.queries("q_mixture_temperature")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share_raw"))
+    val temps = rows.map(_.getAs[Double]("w_temp"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    assert(math.abs(temps.sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("share_raw")
+      val t = r.getAs[Double]("w_temp")
+      // α = 0.5 moves every weight strictly toward 1/|sources| (or keeps
+      // it, when the corpus is already uniform)
+      val u = 1.0 / rows.length
+      assert(math.abs(t - u) <= math.abs(raw - u) + 1e-12)
+      assert(r.getAs[Double]("boost") === t / raw)
+      // quota never exceeds the source's population
+      assert(r.getAs[Long]("quota") <= r.getAs[Long]("n"))
+    }
+  }
 }
