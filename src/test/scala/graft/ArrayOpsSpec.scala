@@ -61,6 +61,24 @@ class ArrayOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("SQL registration: kernels callable by name from spark.sql") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_long(array(1L, 2L), array(3L, 4L)) AS d,
+        |  sqdist_long(array(1L, 2L), array(3L, 4L)) AS sq,
+        |  dot_double(array(1.5D, 2.0D), array(2.0D, 3.0D)) AS dd,
+        |  sqdist_double(array(1.0D), array(3.5D)) AS sqd,
+        |  round(student_t_sf(0.0D, 10.0D), 9) AS sf""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) === 11L)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 9.0)
+    assert(r.getDouble(3) === 6.25)
+    assert(r.getDouble(4) === 0.5) // SF at t=0 is exactly 1/2
+    // the extensions entry point applies the same table without error
+    new functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}
