@@ -551,6 +551,45 @@ object Aggregates {
         "l_quantity").orderBy("l_suppkey")
     },
 
+    // Robust outlier report per user: median / MAD / robust z — the
+    // outlier primitive that survives the heavy-tailed metrics stddev
+    // z-scores break on (a single spike inflates σ and hides itself;
+    // the median and MAD don't move). z = 0.6745·(v − med)/MAD, |z| > 3.5
+    // flags (the standard Iglewicz–Hoban cut). Exact interpolated medians
+    // in both engines; a zero-MAD group (constant metric) yields no
+    // outliers rather than a divide-by-zero. Shape: two grouped exact
+    // medians (the same typed aggregate q_stats_block uses) + one
+    // counting pass, all keyed on user_id — skew-free; at 100 TB the
+    // medians swap to the grouped-histogram form noted on q_profile.
+    Q("q_outlier_mad",
+      """WITH m AS (
+        |  SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.user_id, d.med, md.mad,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN md.mad > 0
+        |    AND 0.6745 * abs(d.value - d.med) / md.mad > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY d.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "value")
+      val m = ev.groupBy("user_id").agg(median(col("value")).as("med"))
+      val dd = ev.join(m, Seq("user_id"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val md = dd.groupBy("user_id").agg(median(col("adev")).as("mad"))
+      dd.join(md, Seq("user_id"))
+        .groupBy("user_id", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mad") > 0 &&
+            lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select("user_id", "med", "mad", "n", "n_outliers")
+        .orderBy("user_id")
+    },
+
     Q("q_cv_robust",
       """WITH med AS (
         |  SELECT l_returnflag, median(l_quantity) AS med_v

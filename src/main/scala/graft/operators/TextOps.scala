@@ -508,6 +508,55 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Per-source token-distribution drift: KL(P_source ‖ P_corpus) =
+    // Σ_t p_s(t)·ln(p_s(t)/q(t)) — the information-theoretic "how unlike
+    // the corpus is this source" signal that decides re-weighting or
+    // exclusion before mixing (a source whose token distribution has
+    // drifted far from the pool is boilerplate, spam, or another
+    // language). Support is safe by construction: p_s(t) > 0 ⇒ the corpus
+    // contains t ⇒ q(t) > 0. Float discipline: the per-source sum folds
+    // over a TOKEN-ORDERED list (never an engine-ordered SUM of ln terms)
+    // and the result is round(·, 6) for the ln ulp divergence, the
+    // q_bm25_rank/q_text_lm_score convention. Shape: one (source, token)
+    // count (map-side partials absorb the Zipf head), a broadcast 1-row
+    // corpus total, a broadcast corpus-distribution join keyed on token,
+    // then a per-source ordered fold — vocab-bounded state everywhere.
+    Q("q_kl_drift",
+      s"""WITH t AS (SELECT source, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT source, unnest(toks) AS tok FROM t),
+         |st AS (SELECT source, tok, count(*) AS c FROM e GROUP BY 1, 2),
+         |sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+         |ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM ct),
+         |terms AS (SELECT st.source, st.tok,
+         |    (st.c::DOUBLE / sn.ns) *
+         |      ln((st.c::DOUBLE / sn.ns) / (ct.cc::DOUBLE / tot.nn)) AS kt
+         |  FROM st JOIN sn USING (source) JOIN ct USING (tok), tot),
+         |agg AS (SELECT source, list(kt ORDER BY tok) AS ks
+         |  FROM terms GROUP BY 1)
+         |SELECT source, len(ks) AS n_tokens_distinct,
+         |  round(list_sum(ks), 6) AS kl_divergence
+         |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      val e = tokenized(s, d).select(col("source"), explode(col("toks")).as("tok"))
+      val st = e.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val sn = st.groupBy("source").agg(sum("c").cast("long").as("ns"))
+      val ct = st.groupBy("tok").agg(sum("c").cast("long").as("cc"))
+      val tot = ct.agg(sum("cc").cast("long").as("nn"))
+      st.join(sn, Seq("source"))
+        .join(broadcast(ct), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          expr("(c / cast(ns AS double)) * " +
+            "ln((c / cast(ns AS double)) / (cc / cast(nn AS double)))").as("kt"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(struct(col("tok"), col("kt")))).as("ks"))
+        .select(col("source"),
+          size(col("ks")).cast("long").as("n_tokens_distinct"),
+          expr("round(aggregate(ks, cast(0 AS double), (a, x) -> a + x.kt), 6)")
+            .as("kl_divergence"))
+        .orderBy("source")
+    },
+
     // Sensitive-pattern scrubbing with an audit count — the PII-masking
     // shape (regex replace + how-many-were-masked) over the one column of
     // this corpus that carries digit payloads (events.props). Map-only:

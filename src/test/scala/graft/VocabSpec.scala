@@ -41,6 +41,42 @@ class VocabSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 1.0)
   }
 
+  test("kl drift: non-negative everywhere, zero for a corpus-identical source") {
+    val rows = SparkEntry.queries("q_kl_drift")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_divergence") >= 0.0, // Gibbs' inequality
+        s"negative KL for ${r.getAs[String]("source")}")
+    }
+    // single-source corpus: P_source == P_corpus -> KL exactly 0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kl").toString
+    Seq((1L, "a b c a", "en", "only", 7L), (2L, "b c", "en", "only", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val solo = SparkEntry.queries("q_kl_drift")(spark, dir).collect()
+    assert(solo.length === 1 && solo(0).getAs[Double]("kl_divergence") === 0.0)
+  }
+
+  test("outlier mad: spike flagged, constant series yields zero outliers") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    // user 1: tight cluster + one huge spike; user 2: constant (MAD 0)
+    val normal = (0 until 20).map(i => (i.toLong, t(i), 1L, "a", 10.0 + (i % 3), "{}"))
+    val spike = Seq((20L, t(20), 1L, "a", 1000.0, "{}"))
+    val const = (0 until 5).map(i => (30L + i, t(i), 2L, "a", 7.0, "{}"))
+    (normal ++ spike ++ const)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_outlier_mad")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"))).toMap
+    assert(got(1L)._2 === 1L) // exactly the spike
+    assert(got(2L) === ((0.0, 0L))) // zero MAD, no div-by-zero, no outliers
+  }
+
   test("scrub mask: output carries no digits and counts every masked run") {
     val rows = SparkEntry.queries("q_scrub_mask")(spark, sfDir).collect()
     assert(rows.nonEmpty)
