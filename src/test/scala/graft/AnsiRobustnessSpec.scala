@@ -75,4 +75,28 @@ class AnsiRobustnessSpec extends SparkSpec {
     assert(SparkEntry.queries("q_text_lm_score")(spark, d).count() === 0L)
     assert(SparkEntry.queries("q_sample_mixture")(spark, d).count() === 0L)
   }
+
+  test("empty corpus: vocab / OOV / KL / splits / overlap all yield empty") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-ansi-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq("q_vocab_zipf", "q_oov_rate", "q_kl_drift", "q_split_assign",
+      "q_source_overlap", "q_mixture_temperature").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, d).count() === 0L, q)
+    }
+  }
+
+  test("single-source corpus: temperature mixture degenerates to identity") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-ansi-mono").toString
+    Seq((1L, "a b", "en", "only", 3L), (2L, "c d", "en", "only", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_mixture_temperature")(spark, d).head()
+    assert(r.getAs[Double]("w_temp") === 1.0)
+    assert(r.getAs[Double]("boost") === 1.0)
+    assert(r.getAs[Long]("quota") === 2L)
+  }
 }
