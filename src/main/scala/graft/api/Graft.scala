@@ -389,6 +389,30 @@ final class Graft(val spark: SparkSession, root: String) {
     def annSearch(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ivf_trained", corpusDir)
 
+    /** Leakage-safe train/val/test assignment (cluster-consistent). */
+    def splitAssignments(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_split_assign", corpusDir)
+
+    /** Top-50 vocabulary with ranks and corpus shares. */
+    def vocabulary(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_vocab_zipf", corpusDir)
+
+    /** Per-document out-of-vocabulary rate vs the corpus top-20 vocab. */
+    def oovRates(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_oov_rate", corpusDir)
+
+    /** Per-source KL divergence from the corpus token distribution. */
+    def sourceDrift(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_kl_drift", corpusDir)
+
+    /** Cross-source near-dup overlap matrix. */
+    def sourceOverlap(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_source_overlap", corpusDir)
+
+    /** Temperature-flattened (α = 0.5) mixture weights and quotas. */
+    def temperatureMixture(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_mixture_temperature", corpusDir)
+
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)
   }
