@@ -91,9 +91,14 @@ object TextOps {
     graft.Caches.getOrElseUpdate(
       s"rep-toks:$d:${graft.Caches.fingerprint(s, d)}",
       Tables.documents(s, d)
-        .withColumn("toks", expr(tokensSpark("text")))
+        .select(col("doc_id"), col("source"),
+          expr(tokensSpark("text")).as("toks"))
         .repartition(col("doc_id"))
         .persist())
+        // text/lang/n_chars deliberately dropped before the persist: the
+        // four consumers (repetition, vocab, OOV, KL) need only
+        // (doc_id, source, toks), and text is the corpus's widest column —
+        // caching it here would double the frame's memory for nothing
 
   private def bm25TermScore(t: String): String =
     s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
