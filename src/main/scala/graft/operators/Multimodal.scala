@@ -113,6 +113,50 @@ object Multimodal {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Chunk-hash payload dedup: binary blobs sharing >= 3 distinct
+    // content-chunk hashes are near-dup media — the content-addressed
+    // dedup a 100 TB multimodal corpus runs BEFORE any decode (byte-level,
+    // codec-agnostic, catches re-uploads, trims, and container re-wraps
+    // that whole-file hashing misses). Same inverted-index shape as the
+    // n-gram text dedup: explode to (doc, chunk_hash) postings, equi-join
+    // on the hash, count per pair — never a payload×payload comparison,
+    // and payload bytes never enter the shuffle (hashes only). At corpus
+    // scale a boilerplate chunk (shared container header) would need the
+    // same df-cap q_dedup_ngram_capped applies to hot shingles.
+    Q("q_mm_dedup", {
+      import graft.functions.TextHash
+      s"""WITH ch AS (
+         |  SELECT DISTINCT doc_id, ${TextHash.polyDuck("chunk")} AS h
+         |  FROM (
+         |    SELECT doc_id, substr(text, (i - 1) * 64 + 1, 64) AS chunk
+         |    FROM documents, unnest(generate_series(1,
+         |      CAST(ceil(length(text) / 64.0) AS BIGINT))) AS u(i)
+         |    WHERE length(text) > 0))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextHash
+      val ch = Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
+            .as("i"))
+        .withColumn("chunk",
+          expr("substring(text, cast((i - 1) * 64 + 1 AS int), 64)"))
+        .select(col("doc_id"), expr(TextHash.polySpark("chunk")).as("h"))
+        .distinct()
+      ch.select(col("doc_id").as("a_id"), col("h"))
+        .join(ch.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("a_id", "b_id")
+    },
+
     // Partition-batched decode -> feature columns. mapPartitions is the
     // Scala analog of mapInPandas: one decoder instance per partition,
     // payloads streamed through it without collecting to the driver.

@@ -46,4 +46,21 @@ class MultimodalSpec extends SparkSpec {
       assert(cs.sortBy(_._2).dropRight(1).forall(_._3 == 64L), s"doc $id sizes")
     }
   }
+
+  test("chunk dedup: exact payload copies pair up, disjoint payloads don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmdedup").toString
+    val big = (1 to 40).map(i => f"block$i%04d payload segment").mkString(" ")
+    val other = (1 to 40).map(i => f"wholly$i%04d different bytes").mkString(" ")
+    Seq(
+      (1L, big, "en", "s", big.length.toLong),
+      (2L, big, "en", "s", big.length.toLong), // byte-identical re-upload
+      (3L, "tiny", "en", "s", 4L), // < 3 chunks: can never pair
+      (4L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_mm_dedup")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
 }
