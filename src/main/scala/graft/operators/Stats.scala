@@ -536,6 +536,60 @@ object Stats {
         Seq("l_quantity", "l_discount")).orderBy("term")
     },
 
+    // Everything the inference chain computes EXCEPT the p-value is plain
+    // arithmetic over one covariance row — so it gets a full oracle:
+    // betas (Cramer), residual sigma², standard errors from the inverted
+    // 2×2 normal matrix, t statistics, and VIF = 1/(1−r12²). Only the
+    // t→p step needs the t-CDF DuckDB lacks (q_ols_inference above stays
+    // rows-only for exactly that column; TrendClassSpec-style critical
+    // values would classify, but the reference's deliverable here IS the
+    // p-value, so the honest split is: numbers checked cross-engine,
+    // p-values unit-tested on the domain layer). One distributed
+    // aggregate; the algebra runs on a 1-row frame — scale-free.
+    Q("q_ols_se_vif", {
+      val det = "(c11 * c22 - c12 * c12)"
+      val b1 = s"(CASE WHEN $det = 0 THEN NULL ELSE (c22 * c1y - c12 * c2y) / $det END)"
+      val b2 = s"(CASE WHEN $det = 0 THEN NULL ELSE (c11 * c2y - c12 * c1y) / $det END)"
+      val sigma2 = s"(n * (cyy - $b1 * c1y - $b2 * c2y) / (n - 3))"
+      val se1 = s"sqrt($sigma2 * c22 / (n * $det))"
+      val se2 = s"sqrt($sigma2 * c11 / (n * $det))"
+      val vif = "(CASE WHEN c11 * c22 = 0 OR c12 * c12 = c11 * c22 THEN NULL " +
+        "ELSE 1.0 / (1.0 - c12 * c12 / (c11 * c22)) END)"
+      s"""WITH s AS (
+         |  SELECT covar_pop(l_quantity, l_quantity) AS c11,
+         |    covar_pop(l_quantity, l_discount) AS c12,
+         |    covar_pop(l_discount, l_discount) AS c22,
+         |    covar_pop(l_quantity, l_extendedprice) AS c1y,
+         |    covar_pop(l_discount, l_extendedprice) AS c2y,
+         |    covar_pop(l_extendedprice, l_extendedprice) AS cyy,
+         |    count(*) AS n
+         |  FROM lineitem)
+         |SELECT $b1 AS b1, $se1 AS se1, $b1 / $se1 AS t1,
+         |  $b2 AS b2, $se2 AS se2, $b2 / $se2 AS t2,
+         |  $sigma2 AS sigma2, $vif AS vif, n
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      val det = "(c11 * c22 - c12 * c12)"
+      val b1 = s"(CASE WHEN $det = 0 THEN NULL ELSE (c22 * c1y - c12 * c2y) / $det END)"
+      val b2 = s"(CASE WHEN $det = 0 THEN NULL ELSE (c11 * c2y - c12 * c1y) / $det END)"
+      val sigma2 = s"(n * (cyy - $b1 * c1y - $b2 * c2y) / (n - 3))"
+      val se1 = s"sqrt($sigma2 * c22 / (n * $det))"
+      val se2 = s"sqrt($sigma2 * c11 / (n * $det))"
+      val vif = "(CASE WHEN c11 * c22 = 0 OR c12 * c12 = c11 * c22 THEN NULL " +
+        "ELSE 1.0 / (1.0 - c12 * c12 / (c11 * c22)) END)"
+      Tables.lineitem(s, d).agg(
+        covar_pop(col("l_quantity"), col("l_quantity")).as("c11"),
+        covar_pop(col("l_quantity"), col("l_discount")).as("c12"),
+        covar_pop(col("l_discount"), col("l_discount")).as("c22"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("c1y"),
+        covar_pop(col("l_discount"), col("l_extendedprice")).as("c2y"),
+        covar_pop(col("l_extendedprice"), col("l_extendedprice")).as("cyy"),
+        count(lit(1)).as("n"))
+        .selectExpr(s"$b1 AS b1", s"$se1 AS se1", s"$b1 / $se1 AS t1",
+          s"$b2 AS b2", s"$se2 AS se2", s"$b2 / $se2 AS t2",
+          s"$sigma2 AS sigma2", s"$vif AS vif", "n")
+    },
+
     Q("q_pareto_frontier_fit",
       s"""WITH pts AS (
         |  SELECT user_id, event_id, value,

@@ -36,6 +36,23 @@ class TrendClassSpec extends SparkSpec {
     }
   }
 
+  test("ols se/vif oracle variant agrees with the distributed-Gram solver") {
+    val wide = SparkEntry.queries("q_ols_se_vif")(spark, sfDir).head()
+    val long = graft.operators.Stats.olsInference(spark,
+      Tables.lineitem(spark, sfDir), "l_extendedprice",
+      Seq("l_quantity", "l_discount")).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    assert(close(wide.getAs[Double]("b1"), long("l_quantity").getAs[Double]("beta")))
+    assert(close(wide.getAs[Double]("se1"), long("l_quantity").getAs[Double]("std_err")))
+    assert(close(wide.getAs[Double]("b2"), long("l_discount").getAs[Double]("beta")))
+    assert(close(wide.getAs[Double]("se2"), long("l_discount").getAs[Double]("std_err")))
+    assert(close(wide.getAs[Double]("vif"), long("l_quantity").getAs[Double]("vif")))
+    // with 2 regressors both VIFs are the same 1/(1-r12²)
+    assert(close(wide.getAs[Double]("vif"), long("l_discount").getAs[Double]("vif")))
+  }
+
   test("degenerate series: too-few points and exact-linear input") {
     import spark.implicits._
     import java.sql.Timestamp
