@@ -235,6 +235,31 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // Personal-record extraction, batch form: an event is a record iff it
+    // strictly beats the user's running maximum over ALL prior events —
+    // the batch twin of the streaming `Streams.personalRecordStream`
+    // (flatMapGroupsWithState); identical semantics incl. the (ts,
+    // event_id) in-partition order, so a catch-up batch job and the live
+    // stream emit the same record set. One window over the key partition,
+    // no self-join.
+    Q("q_record_events",
+      """SELECT user_id, event_id, value, prev_best FROM (
+        |  SELECT user_id, event_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |  FROM events) t
+        |WHERE prev_best IS NULL OR value > prev_best
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          max("value").over(w).as("prev_best"))
+        .where(col("prev_best").isNull || col("value") > col("prev_best"))
+        .orderBy("user_id", "event_id")
+    },
+
     Q("q_downsample",
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,

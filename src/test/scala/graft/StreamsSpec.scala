@@ -175,5 +175,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch q_record_events emits the same records as the stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      (1L, ts(1), 1L, 3.0), (2L, ts(2), 1L, 5.0), (3L, ts(3), 1L, 4.0),
+      (4L, ts(10), 1L, 4.9), (5L, ts(11), 1L, 7.0),
+      (6L, ts(1), 2L, 9.0), (7L, ts(2), 2L, 8.0))
+    // batch path: same rows as a parquet events table
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec").toString
+    events.map { case (id, t, u, v) => (id, t, u, "a", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("q_record_events")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        Option(r.get(r.fieldIndex("prev_best"))).map(_.asInstanceOf[Double])))
+      .toSet
+    // stream path: same rows through flatMapGroupsWithState
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.personalRecordStream(
+      mem.toDF.toDF("user_id", "ts", "value").as[Streams.RecordEvent])
+      .writeStream.format("memory").queryName("recpar")
+      .outputMode("append").start()
+    try {
+      events.foreach { case (_, t, u, v) => mem.addData((u, t, v)) }
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT user_id, value, prev_best FROM recpar")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(batch === stream)
+    } finally q.stop()
+  }
+
   private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
 }
