@@ -551,6 +551,44 @@ object Aggregates {
         "l_quantity").orderBy("l_suppkey")
     },
 
+    // Trimmed mean per user: average of the values inside the exact
+    // [P05, P95] band — the robust location estimate between the mean
+    // (spike-sensitive) and the median (throws away 98 % of the data);
+    // the standard "average run pace excluding the GPS glitches" /
+    // "average doc quality excluding outliers" aggregate. Exact
+    // interpolated percentiles in both engines; the conditional average
+    // is Σ/count over the SAME surviving rows, so the only float op is
+    // one division. Shape: one grouped percentile pass + one broadcast
+    // join + one conditional agg — all keyed on user_id.
+    Q("q_trimmed_mean",
+      """WITH q AS (SELECT user_id,
+        |    round(quantile_cont(value, 0.05), 6) AS p05,
+        |    round(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id, q.p05, q.p95,
+        |  CAST(count(CASE WHEN e.value BETWEEN q.p05 AND q.p95 THEN 1 END)
+        |    AS BIGINT) AS n_kept,
+        |  sum(CASE WHEN e.value BETWEEN q.p05 AND q.p95 THEN e.value END)
+        |    / count(CASE WHEN e.value BETWEEN q.p05 AND q.p95 THEN 1 END)
+        |    AS trimmed_mean
+        |FROM events e JOIN q USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "value")
+      // round(·, 6) on the bounds in BOTH dialects (the q_quantile_trim
+      // convention): the interpolation arithmetic differs in the last ulp
+      // across engines, and the band must use identical bounds
+      val q = ev.groupBy("user_id").agg(
+        expr("round(percentile(value, 0.05), 6)").as("p05"),
+        expr("round(percentile(value, 0.95), 6)").as("p95"))
+      val kept = col("value").between(col("p05"), col("p95"))
+      ev.join(q, Seq("user_id"))
+        .groupBy("user_id", "p05", "p95")
+        .agg(count(when(kept, 1)).as("n_kept"),
+          (sum(when(kept, col("value"))) / count(when(kept, 1)))
+            .as("trimmed_mean"))
+        .orderBy("user_id")
+    },
+
     // Robust outlier report per user: median / MAD / robust z — the
     // outlier primitive that survives the heavy-tailed metrics stddev
     // z-scores break on (a single spike inflates σ and hides itself;

@@ -562,6 +562,48 @@ object TextOps {
         .orderBy("source")
     },
 
+    // Heaps'-law vocabulary growth: distinct-vocabulary size after each
+    // decile of the corpus (by doc_id order) — the diagnostic that says
+    // whether vocabulary is still growing (open-domain web text) or has
+    // saturated (templated corpus), which sizes tokenizer vocabularies
+    // and dedup expectations. Shape: one (token → first doc) aggregate,
+    // then a 10-row cumulative sum — the heavy lifting is a single
+    // min-aggregate keyed on token (map-side partials absorb the Zipf
+    // head); no window ever touches the token stream. All-integer.
+    Q("q_vocab_growth",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |nd AS (SELECT max(doc_id) AS mx FROM e),
+         |fo AS (SELECT tok, min(doc_id) AS first_doc FROM e GROUP BY 1),
+         |b AS (SELECT CAST(least(9, floor(first_doc * 10.0 / (mx + 1)))
+         |    AS BIGINT) AS decile, count(*) AS new_toks
+         |  FROM fo, nd GROUP BY 1)
+         |SELECT d.decile,
+         |  CAST(coalesce(b.new_toks, 0) AS BIGINT) AS new_tokens,
+         |  CAST(sum(coalesce(b.new_toks, 0)) OVER (ORDER BY d.decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         |FROM (SELECT unnest(generate_series(0, 9)) AS decile) d
+         |LEFT JOIN b ON d.decile = b.decile
+         |ORDER BY d.decile""".stripMargin) { (s, d) =>
+      val e = tokenized(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+      val nd = e.agg(max("doc_id").as("mx"))
+      val fo = e.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      // floor of the exact IEEE division in BOTH dialects — a bare
+      // CAST(double AS BIGINT) truncates in Spark but rounds in DuckDB
+      val b = fo.crossJoin(broadcast(nd))
+        .select(least(lit(9), floor(col("first_doc") * 10.0 / (col("mx") + 1)))
+          .cast("long").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_toks"))
+      val deciles = s.range(0, 10).toDF("decile")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      deciles.join(b, Seq("decile"), "left_outer")
+        .select(col("decile"),
+          coalesce(col("new_toks"), lit(0L)).cast("long").as("new_tokens"))
+        .withColumn("vocab_size", sum("new_tokens").over(w).cast("long"))
+        .orderBy("decile")
+    },
+
     // Sensitive-pattern scrubbing with an audit count — the PII-masking
     // shape (regex replace + how-many-were-masked) over the one column of
     // this corpus that carries digit payloads (events.props). Map-only:

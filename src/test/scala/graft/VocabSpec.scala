@@ -41,6 +41,28 @@ class VocabSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 1.0)
   }
 
+  test("vocab growth: deciles complete, cumulative, ending at the true vocab size") {
+    val rows = SparkEntry.queries("q_vocab_growth")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val sizes = rows.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b }) // monotone
+    val trueVocab = Tables.documents(spark, sfDir)
+      .select(explode(expr(graft.functions.TextHash.tokensSpark("text"))).as("tok"))
+      .distinct().count()
+    assert(sizes.last === trueVocab)
+    assert(rows.map(_.getAs[Long]("new_tokens")).sum === trueVocab)
+  }
+
+  test("trimmed mean: bounded by the band and insensitive to one huge spike") {
+    val rows = SparkEntry.queries("q_trimmed_mean")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tm = r.getAs[Double]("trimmed_mean")
+      assert(tm >= r.getAs[Double]("p05") && tm <= r.getAs[Double]("p95"))
+      assert(r.getAs[Long]("n_kept") >= 1L)
+    }
+  }
+
   test("kl drift: non-negative everywhere, zero for a corpus-identical source") {
     val rows = SparkEntry.queries("q_kl_drift")(spark, sfDir).collect()
     assert(rows.nonEmpty)
