@@ -297,6 +297,28 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Near-dup DEGREE distribution: how many partners each duplicated doc
+    // has, rolled up to (degree → n_docs) — the graph-shape diagnostic
+    // read before cluster resolution (a heavy tail of high-degree nodes
+    // means template families and predicts connected-component blowup;
+    // all-degree-1 means simple pair dedup suffices). Reuses the shared
+    // pair frame; degrees via one union-explode + count keyed on doc_id.
+    Q("q_dup_degree",
+      s"""WITH $ngramPairsDuck,
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT a_id AS doc_id FROM pairs
+         |    UNION ALL SELECT b_id AS doc_id FROM pairs) u
+         |  GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin) { (s, d) =>
+      val p = ngramPairs(s, d)
+      p.select(col("a_id").as("doc_id"))
+        .unionByName(p.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+
     // Same inverted-index join with the HOT-SHINGLE FREQUENCY CAP the plain
     // variant only documents (VERDICT r1 next-round #9): shingles appearing
     // in more than maxDf documents are dropped BEFORE the self-join, and

@@ -132,6 +132,15 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "val", "test"))
   }
 
+  test("dup degree: handshake sum equals twice the pair count") {
+    val rows = SparkEntry.queries("q_dup_degree")(spark, sfDir).collect()
+    val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
+    val handshake = rows.map(r =>
+      r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    assert(handshake === 2 * nPairs)
+    assert(rows.forall(_.getAs[Long]("degree") >= 1L))
+  }
+
   test("source overlap: cells are canonically ordered and count every pair") {
     val rows = SparkEntry.queries("q_source_overlap")(spark, sfDir).collect()
     val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
