@@ -589,6 +589,38 @@ object Aggregates {
         .orderBy("user_id")
     },
 
+    // Winsorization, the TRANSFORM twin of the trimmed mean: clip each
+    // value into its user's exact [P05, P95] band instead of dropping the
+    // tails — the per-row normalization a feature pipeline applies before
+    // training (keeps row count, bounds leverage). Emits the clipped
+    // value plus a direction flag so downstream audits can count clamps.
+    // Same rounded-bound convention as q_trimmed_mean; the clip itself is
+    // least/greatest — exact in both engines.
+    Q("q_winsorize",
+      """WITH q AS (SELECT user_id,
+        |    round(quantile_cont(value, 0.05), 6) AS p05,
+        |    round(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |  least(greatest(e.value, q.p05), q.p95) AS w_value,
+        |  CASE WHEN e.value < q.p05 THEN 'low'
+        |       WHEN e.value > q.p95 THEN 'high'
+        |       ELSE 'kept' END AS clamp
+        |FROM events e JOIN q USING (user_id)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val q = ev.groupBy("user_id").agg(
+        expr("round(percentile(value, 0.05), 6)").as("p05"),
+        expr("round(percentile(value, 0.95), 6)").as("p95"))
+      ev.join(broadcast(q), Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("w_value"),
+          when(col("value") < col("p05"), "low")
+            .when(col("value") > col("p95"), "high")
+            .otherwise("kept").as("clamp"))
+        .orderBy("event_id")
+    },
+
     // Robust outlier report per user: median / MAD / robust z — the
     // outlier primitive that survives the heavy-tailed metrics stddev
     // z-scores break on (a single spike inflates σ and hides itself;

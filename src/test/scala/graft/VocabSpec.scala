@@ -63,6 +63,25 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: values clipped into the band, row count preserved") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.length.toLong === nEvents) // transform keeps every row
+    // every clamped row sits exactly on a bound; kept rows are inside
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      val vals = rs.map(_.getAs[Double]("w_value"))
+      val lo = vals.min; val hi = vals.max
+      rs.foreach { r =>
+        val v = r.getAs[Double]("w_value")
+        assert(v >= lo && v <= hi)
+        if (r.getAs[String]("clamp") == "low") assert(v === lo)
+        if (r.getAs[String]("clamp") == "high") assert(v === hi)
+      }
+    }
+    assert(rows.exists(_.getAs[String]("clamp") != "kept")) // tails exist
+  }
+
   test("kl drift: non-negative everywhere, zero for a corpus-identical source") {
     val rows = SparkEntry.queries("q_kl_drift")(spark, sfDir).collect()
     assert(rows.nonEmpty)
