@@ -25,6 +25,14 @@ object TextOps {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(s => s"'$s'").mkString(", ")
 
+  /** Marker-word lists for the n-gram language-ID heuristic (shared by the
+    * per-doc classifier and the per-source confusion matrix).
+    */
+  private val esList = Seq("el", "la", "de", "que", "y", "en")
+    .map(w => s"'$w'").mkString(", ")
+  private val frList = Seq("le", "la", "de", "et", "les", "un")
+    .map(w => s"'$w'").mkString(", ")
+
   /** BM25 query terms (fixed retrieval query; chosen for df spread in the
     * synthetic corpus: ~80 % / ~80 % / ~5 % of docs).
     */
@@ -335,10 +343,49 @@ object TextOps {
     // Stopword-hit scoring per language family; fixed priority on ties.
     // (The synthetic corpus shares one vocabulary across langs, so this is
     // graded on cross-engine parity of the scoring, not on accuracy.)
+    // Per-source language confusion matrix: the label-quality audit over
+    // the langid heuristic — (source, labeled lang, predicted lang, n).
+    // A source whose labels disagree with content-based prediction has a
+    // metadata problem (mislabeled scrape, mixed-language dump) and gets
+    // routed to re-labeling before the mixture step. Rollup of the same
+    // marker-word scores the per-doc classifier uses; one grouped count.
+    Q("q_lang_confusion",
+      s"""WITH t AS (SELECT doc_id, lang, source, ${tokensDuck("text")} AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, source,
+         |    len(list_filter(toks, x -> x IN ($stopSqlList))) AS s_en,
+         |    len(list_filter(toks, x -> x IN ($esList))) AS s_es,
+         |    len(list_filter(toks, x -> x IN ($frList))) AS s_fr
+         |  FROM t),
+         |p AS (SELECT source, lang,
+         |    CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS predicted
+         |  FROM s)
+         |SELECT source, lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val en = stop.map(w => s"'$w'").mkString(", ")
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .withColumn("s_en", expr(s"size(filter(toks, x -> x IN ($en)))").cast("long"))
+        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ($esList)))").cast("long"))
+        .withColumn("s_fr", expr(s"size(filter(toks, x -> x IN ($frList)))").cast("long"))
+        .select(col("source"), col("lang"),
+          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "und")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr").as("predicted"))
+        .groupBy("source", "lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "lang", "predicted")
+    },
+
     Q("q_text_langid", {
       val en = stopSqlList
-      val es = Seq("el", "la", "de", "que", "y", "en").map(w => s"'$w'").mkString(", ")
-      val fr = Seq("le", "la", "de", "et", "les", "un").map(w => s"'$w'").mkString(", ")
+      val es = esList
+      val fr = frList
       s"""WITH t AS (SELECT doc_id, lang, ${tokensDuck("text")} AS toks FROM documents),
          |s AS (SELECT doc_id, lang,
          |    len(list_filter(toks, x -> x IN ($en))) AS s_en,
@@ -357,8 +404,8 @@ object TextOps {
          |FROM s ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val en = stop.map(w => s"'$w'").mkString(", ")
-      val es = Seq("el", "la", "de", "que", "y", "en").map(w => s"'$w'").mkString(", ")
-      val fr = Seq("le", "la", "de", "et", "les", "un").map(w => s"'$w'").mkString(", ")
+      val es = esList
+      val fr = frList
       val base = Tables.documents(s, d)
         .withColumn("toks", expr(tokensSpark("text")))
         .repartition(col("doc_id"))

@@ -82,6 +82,19 @@ class VocabSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("clamp") != "kept")) // tails exist
   }
 
+  test("lang confusion: cells sum to the corpus and agree with the per-doc classifier") {
+    val cells = SparkEntry.queries("q_lang_confusion")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(cells.map(_.getAs[Long]("n")).sum === nDocs)
+    // diagonal-mass parity with q_text_langid's per-doc is_match
+    val matches = SparkEntry.queries("q_text_langid")(spark, sfDir)
+      .where(col("is_match")).count()
+    val diag = cells.filter(r =>
+      r.getAs[String]("lang") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag === matches)
+  }
+
   test("kl drift: non-negative everywhere, zero for a corpus-identical source") {
     val rows = SparkEntry.queries("q_kl_drift")(spark, sfDir).collect()
     assert(rows.nonEmpty)
