@@ -343,6 +343,38 @@ object TextOps {
     // Stopword-hit scoring per language family; fixed priority on ties.
     // (The synthetic corpus shares one vocabulary across langs, so this is
     // graded on cross-engine parity of the scoring, not on accuracy.)
+    // Per-source quality report: docs, rule-kept rate, and mean token
+    // count per source — the one-line-per-source summary a pipeline
+    // owner reads to decide which sources to keep, fix, or drop (the
+    // doc-level rule reasons roll up; a source with a low kept-rate is
+    // cheaper to drop than to filter). Composes the same first-match
+    // rule chain the filter report uses; exact int/int division for the
+    // rate.
+    Q("q_source_quality",
+      s"""WITH $ruleReasonDuck,
+         |src AS (SELECT d.doc_id, d.source,
+         |    len(${tokensDuck("d.text")}) AS n_toks, r.rule_reason
+         |  FROM documents d JOIN rr r ON d.doc_id = r.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN rule_reason = 'kept' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rule_reason = 'kept' THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS kept_rate,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+         |FROM src GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr(s"size(${tokensSpark("text")})").cast("long").as("n_toks"))
+      docs.join(filterReasons(s, d), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rule_reason") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          (sum(when(col("rule_reason") === "kept", 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("kept_rate"),
+          sum("n_toks").cast("long").as("total_tokens"))
+        .orderBy("source")
+    },
+
     // Per-source language confusion matrix: the label-quality audit over
     // the langid heuristic — (source, labeled lang, predicted lang, n).
     // A source whose labels disagree with content-based prediction has a

@@ -82,6 +82,21 @@ class VocabSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("clamp") != "kept")) // tails exist
   }
 
+  test("source quality: rollup matches the doc-level filter report") {
+    val rows = SparkEntry.queries("q_source_quality")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val keptDocs = SparkEntry.queries("q_text_filter_report")(spark, sfDir)
+      .where(col("rule_reason") === "kept")
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === keptDocs)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("kept_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate === r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("lang confusion: cells sum to the corpus and agree with the per-doc classifier") {
     val cells = SparkEntry.queries("q_lang_confusion")(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
