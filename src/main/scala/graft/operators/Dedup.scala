@@ -297,6 +297,28 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Pair-similarity histogram: near-dup pairs per 0.05 jaccard band —
+    // the threshold-tuning curve (where does the pair mass sit relative
+    // to the 0.5 cut; a spike just above threshold means the cut is
+    // load-bearing and worth a sensitivity pass). Band index floors an
+    // exact IEEE division; 1.0 folds into the top band so bands
+    // partition [0.5, 1.0].
+    Q("q_jaccard_hist",
+      s"""WITH $ngramPairsDuck
+         |SELECT CAST(least(9, floor((jaccard - 0.5) / 0.05)) AS BIGINT)
+         |    AS band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(jaccard) AS lo, max(jaccard) AS hi
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      ngramPairs(s, d)
+        .select(least(lit(9), floor((col("jaccard") - 0.5) / 0.05))
+          .cast("long").as("band"), col("jaccard"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("jaccard").as("lo"), max("jaccard").as("hi"))
+        .orderBy("band")
+    },
+
     // Near-dup DEGREE distribution: how many partners each duplicated doc
     // has, rolled up to (degree → n_docs) — the graph-shape diagnostic
     // read before cluster resolution (a heavy tail of high-degree nodes

@@ -132,6 +132,18 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "val", "test"))
   }
 
+  test("jaccard histogram: bands partition the pair set above the threshold") {
+    val rows = SparkEntry.queries("q_jaccard_hist")(spark, sfDir).collect()
+    val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(b >= 0L && b <= 9L)
+      assert(r.getAs[Double]("lo") >= 0.5 && r.getAs[Double]("hi") <= 1.0)
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+  }
+
   test("dup degree: handshake sum equals twice the pair count") {
     val rows = SparkEntry.queries("q_dup_degree")(spark, sfDir).collect()
     val nPairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).count()
