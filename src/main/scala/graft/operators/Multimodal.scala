@@ -160,7 +160,31 @@ object Multimodal {
     // Partition-batched decode -> feature columns. mapPartitions is the
     // Scala analog of mapInPandas: one decoder instance per partition,
     // payloads streamed through it without collecting to the driver.
-    Q.noOracle("q_mm_features") { (s, d) =>
+    // The FakeDecoder features are deterministic byte math over the UTF-8
+    // payload, so the oracle CAN recompute them: DuckDB lacks blob
+    // indexing, but hex(blob) exposes every byte as two hex digits and
+    // strpos('0123456789ABCDEF', ·) turns a digit back into its value —
+    // exact integer arithmetic, no float-parity risk (sums of bytes stay
+    // under 2^53, where double accumulation is exact too).
+    Q("q_mm_features",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      16 * (strpos('0123456789ABCDEF', substr(h, 2*i::INT - 1, 1)) - 1)
+        |         + strpos('0123456789ABCDEF', substr(h, 2*i::INT, 1)) - 1) AS bs
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS DOUBLE) AS f_len,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_aggregate(bs, 'sum') AS DOUBLE) / n END AS f_mean,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_aggregate(bs, 'max') AS DOUBLE) END AS f_max,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_aggregate(bs, 'sum') % 256 AS DOUBLE) END AS f_checksum
+        |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val payloads = Tables.documents(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
