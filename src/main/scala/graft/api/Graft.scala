@@ -262,6 +262,105 @@ final class Graft(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Durability tools (readers/durability.py): midpoint-split decoupling /
+    * fades per activity and the long-run trend block. All math lives in
+    * domain.Durability (oracle-adjacent: the halves split is the
+    * q_decoupling_halves shape, the regressions the q_linreg/q_trend_class
+    * machinery); the façade only selects the window.
+    */
+  object durability {
+    private def tsCols = table("time_series_metrics").select(
+      "activity_id", "timestamp_s", "heart_rate", "speed",
+      "ground_contact_time", "vertical_oscillation", "vertical_ratio")
+
+    /** get_activity_durability: 0-or-1-row frame (empty ≙ the reference's
+      * None — no usable HR/speed rows or an empty time span).
+      */
+    def activityDurability(activityId: Long): DataFrame =
+      Durability.perActivity(tsCols.where(col("activity_id") === activityId))
+
+    /** The qualifying long runs with their per-run durability rows, date
+      * ascending — the `activities` half of get_durability_trend. ONE
+      * distributed plan for the whole window, not a per-id loop.
+      */
+    def longRuns(startDate: String, endDate: String,
+        minDistanceKm: Double = 15.0): DataFrame = {
+      val runs = table("activities")
+        .where(col("activity_date").between(startDate, endDate) &&
+          col("total_distance_km") >= minDistanceKm)
+        .select(col("activity_id"), col("activity_date"),
+          col("total_distance_km").as("distance_km"))
+      Durability.perActivity(
+          tsCols.join(runs.select("activity_id"), Seq("activity_id"),
+            "left_semi"))
+        .join(runs, Seq("activity_id"))
+        .orderBy("activity_date", "activity_id")
+    }
+
+    /** The `trend` half of get_durability_trend: 1-row block with the
+      * significance-gated direction, form regression, absolute band and
+      * best/worst ranking.
+      */
+    def durabilityTrend(startDate: String, endDate: String,
+        minDistanceKm: Double = 15.0): DataFrame =
+      Durability.trend(longRuns(startDate, endDate, minDistanceKm))
+  }
+
+  /** Heat-adjustment tools (rag/queries/heat_adjustment.py:117-192): the
+    * hinge-model fit + climate-neutral trend over a date window. Per-run
+    * temperature is the activity's mean air temperature from the time
+    * series; Stats.heatTrend does the fit (one distributed covariance
+    * aggregate + 1-row Cramer solve) and carries the reference's n >= 10
+    * insufficient_data gate.
+    */
+  object heat {
+    private def observations(startDate: String, endDate: String): DataFrame = {
+      val temps = table("time_series_metrics")
+        .groupBy("activity_id")
+        .agg(avg("air_temperature").as("temp_c"))
+      val acts = table("activities")
+        .where(col("activity_date").between(startDate, endDate) &&
+          col("avg_heart_rate").isNotNull && col("average_speed") > 0)
+        .select(col("activity_id"), col("activity_date"),
+          col("avg_heart_rate").as("y"),
+          (lit(1000.0) / col("average_speed")).as("x1"))
+      acts.join(temps, Seq("activity_id"))
+        .where(col("temp_c").isNotNull)
+    }
+
+    private def withDays(obs: DataFrame, refTempC: Double): DataFrame = {
+      val base = obs.agg(min(col("activity_date")).as("base_date"))
+      obs.crossJoin(broadcast(base))
+        .withColumn("x2", graft.operators.Stats.heatHinge(col("temp_c"), refTempC))
+        .withColumn("x3",
+          datediff(col("activity_date"), col("base_date")).cast("double"))
+    }
+
+    /** get_heat_adjusted_trend's coefficients + neutral-HR time trend
+      * (1 row; status = insufficient_data below the fit gate).
+      */
+    def heatTrend(startDate: String, endDate: String,
+        refTempC: Double = 15.0, minN: Int = 10): DataFrame =
+      graft.operators.Stats.heatTrend(
+        withDays(observations(startDate, endDate), refTempC)
+          .select("y", "x1", "x2", "x3"), minN)
+
+    /** The per-run `points` block: {date, temp_c, raw_hr, heat_cost,
+      * neutral_hr}, date ascending.
+      */
+    def heatCostPoints(startDate: String, endDate: String,
+        refTempC: Double = 15.0): DataFrame = {
+      val f = withDays(observations(startDate, endDate), refTempC)
+      val betas = graft.operators.Stats.heatBetas(
+        graft.operators.Stats.heatStats(f.select("y", "x1", "x2", "x3")))
+        .select("b_heat")
+      graft.operators.Stats.heatCost(f, betas)
+        .select(col("activity_date").as("date"), col("temp_c"),
+          col("y").as("raw_hr"), col("heat_cost"), col("neutral_hr"))
+        .orderBy("date")
+    }
+  }
+
   /** Time-series tools (z-anomalies come from domain.FormAnomaly over the
     * time_series_metrics frame shaped to its input contract).
     */

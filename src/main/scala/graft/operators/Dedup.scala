@@ -60,10 +60,18 @@ object Dedup {
     * and dropped before the inverted-index self-join. Sized so the cap is
     * actually exercised at sf0.01 (measured df histogram tops out at 7
     * there — 29 template shingles exceed 5) while content shingles
-    * survive. At 100 TB the cap would be a df *fraction*; the absolute
-    * form matches the oracle's determinism needs.
+    * survive. See [[NgramMaxDfFrac]] for the corpus-relative form.
     */
   val NgramMaxDf: Int = 5
+
+  /** Fractional form of the boilerplate cap: maxDf = ceil(frac · N), N =
+    * shingled-document count — the 100 TB form (an absolute cap tuned at
+    * one corpus size silently stops capping when the corpus grows 100×; a
+    * fraction tracks it). 0.01 reproduces the absolute cap 5 at sf0.01
+    * (N≈500 → ceil(5) = 5), which DedupSpec pins by comparing both
+    * variants' full output there.
+    */
+  val NgramMaxDfFrac: Double = 0.01
 
   /** Postings surviving the boilerplate cap: anti-join the exploded
     * (doc, shingle-hash) postings against the hot-shingle set (df > maxDf
@@ -110,6 +118,22 @@ object Dedup {
   def ngramJaccardPairsCapped(base: DataFrame, maxDf: Long,
       threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFromPostings(cappedPostings(base, maxDf), threshold)
+
+  /** [[cappedPostings]] with the cap as a document-frequency FRACTION of
+    * the corpus: N comes from one tiny aggregate over `base` (one row per
+    * document by construction) whose single row is broadcast into the
+    * hot-shingle threshold — same single-shuffle shape as the absolute
+    * form, no extra pass over the postings.
+    */
+  def cappedPostingsByFrac(base: DataFrame, maxDfFrac: Double): DataFrame = {
+    val ex0 = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
+    val n = base.agg(count(lit(1)).as("n_docs"))
+    val hot = ex0.groupBy("hsh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") > ceil(lit(maxDfFrac) * col("n_docs")).cast("long"))
+      .select("hsh")
+    ex0.join(broadcast(hot), Seq("hsh"), "left_anti")
+  }
 
   /** Exploded LSH band keys (doc_id, g, k) from a shingled frame: 16
     * MinHash values folded into 4 bands of 4, one output row per (doc,
@@ -377,6 +401,41 @@ object Dedup {
           shingled(s, d).where(size(col("hs")) > 0)
             .select(col("doc_id"), col("hs")),
           maxDf = NgramMaxDf).persist())
+      ngramJaccardPairsFromPostings(ex)
+    },
+
+    // The SAME hot-shingle cap with the threshold as a df FRACTION of the
+    // corpus size — the form that survives corpus growth (an absolute cap
+    // of 5 is meaningless at 100 TB; 1 % of documents is the same
+    // "boilerplate" statement at any scale). Corpus size N is one 1-row
+    // aggregate broadcast into the threshold; everything downstream is the
+    // identical capped inverted-index join. At sf0.01 ceil(0.01·N) = 5
+    // reproduces q_dedup_ngram_capped exactly (DedupSpec pins it); at
+    // sf0.1 the cap self-adjusts to 50.
+    Q("q_dedup_ngram_fcapped",
+      s"""WITH $shingledDuck,
+         |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |e0 AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
+         |cap AS (SELECT CAST(ceil($NgramMaxDfFrac * count(*)) AS BIGINT)
+         |    AS maxdf FROM b),
+         |hot AS (SELECT hsh FROM e0 GROUP BY 1
+         |  HAVING count(*) > (SELECT maxdf FROM cap)),
+         |e AS (SELECT * FROM e0 WHERE hsh NOT IN (SELECT hsh FROM hot)),
+         |n AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+         |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM e a JOIN e b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.a_id, c.b_id,
+         |  c.i::DOUBLE / (x.n + y.n - c.i) AS jaccard
+         |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
+         |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val ex = graft.Caches.getOrElseUpdate(
+        s"fcapped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac",
+        cappedPostingsByFrac(
+          shingled(s, d).where(size(col("hs")) > 0)
+            .select(col("doc_id"), col("hs")),
+          maxDfFrac = NgramMaxDfFrac).persist())
       ngramJaccardPairsFromPostings(ex)
     },
 

@@ -108,6 +108,77 @@ object TextOps {
         // (doc_id, source, toks), and text is the corpus's widest column —
         // caching it here would double the frame's memory for nothing
 
+  /** Exploded positional bigrams (doc_id, pos, w1, w2), persisted per dir:
+    * THREE plan branches consume them in each LM query (counts c and u,
+    * plus the scoring join's probe side) — without the barrier the
+    * tokenize+explode runs 3× (measured 2.3 s → 1.0 s at sf0.1).
+    */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"lm-bigrams:$d:${graft.Caches.fingerprint(s, d)}",
+      Tables.documents(s, d)
+        .withColumn("toks", expr(tokensSpark("text")))
+        .repartition(col("doc_id"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(i AS pos, element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.pos").as("pos"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .persist())
+
+  /** DuckDB CTE chain ending in `b(doc_id, pos, w1, w2)` — oracle twin of
+    * [[bigrams]].
+    */
+  private val bigramsDuck: String =
+    s"""t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(toks) - 1),
+       |    i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+       |  FROM t WHERE len(toks) >= 2),
+       |b AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM e)""".stripMargin
+
+  /** Bigram LM scoring with the model truncated to the top-K bigrams by
+    * count (ties broken on (w1, w2) so the cut is deterministic in both
+    * engines) and an add-1 default-smoothing miss path: a bigram outside
+    * the kept model scores ln(1/(n1+|V|)) — exactly the n2=0 smoothed
+    * probability. This is the 100 TB form of [[q_text_lm_score]]'s model
+    * broadcast: the full conditional table is |V|²-bounded, the top-K
+    * table is K-bounded regardless of vocabulary growth, and the miss
+    * path keeps scores well-defined for the long tail. The unigram table
+    * (|V|-bounded) still broadcasts whole.
+    */
+  def lmTopKScores(s: SparkSession, d: String, k: Int): DataFrame = {
+    val b = bigrams(s, d)
+    val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val topk = c.orderBy(desc("n2"), asc("w1"), asc("w2")).limit(k)
+    val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = b.agg(countDistinct("w1").as("vocab"))
+    b.join(broadcast(u), Seq("w1"))
+      .join(broadcast(topk), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        expr("ln((coalesce(n2, 0L) + 1.0) / (n1 + vocab))").as("logp"),
+        col("n2").isNotNull.as("hit"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("logp")))).as("plps"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("doc_id"),
+        size(col("plps")).cast("long").as("n_bigrams"),
+        col("n_hits"),
+        expr("round(aggregate(plps, cast(0 AS double), (a, x) -> a + x.logp) / size(plps), 6)")
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Kept-model size for q_text_lm_topk — small enough that the miss path
+    * is exercised at every test scale (sf0.001 already has > 500 distinct
+    * bigrams), large enough that common text hits it.
+    */
+  val LmTopK: Int = 500
+
   private def bm25TermScore(t: String): String =
     s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
       s"ln((nd - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
@@ -180,11 +251,13 @@ object TextOps {
         |FROM documents
         |WHERE contains(lower(text), 'merge')
         |ORDER BY n_hits DESC, doc_id LIMIT 50 OFFSET 10""".stripMargin) { (s, d) =>
+      val kw = "merge"
       Tables.documents(s, d)
-        .where(lower(col("text")).contains("merge"))
+        .where(lower(col("text")).contains(kw))
         .select(col("doc_id"), col("lang"),
           ((length(lower(col("text"))) -
-            length(regexp_replace(lower(col("text")), "merge", ""))) / 5L)
+            length(regexp_replace(lower(col("text")), kw, ""))) /
+            lit(kw.length.toLong))
             .cast("long").as("n_hits"))
         .orderBy(desc("n_hits"), asc("doc_id"))
         .offset(10).limit(50)
@@ -204,12 +277,7 @@ object TextOps {
     // bounded by the doc's own length. At 100 TB the model side would be
     // the top-K bigrams broadcast + a default-smoothing miss path.
     Q("q_text_lm_score",
-      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
-         |e AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len(toks) - 1),
-         |    i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS bg
-         |  FROM t WHERE len(toks) >= 2),
-         |b AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM e),
+      s"""WITH $bigramsDuck,
          |c AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
          |u AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
          |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
@@ -223,23 +291,7 @@ object TextOps {
          |SELECT doc_id, len(lps) AS n_bigrams,
          |  round(list_sum(lps) / len(lps), 6) AS avg_logp
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // THREE plan branches consume the exploded bigrams (counts c and u,
-      // plus the scoring join's probe side) — persist the frame once per
-      // dir or the tokenize+explode runs 3× (the multiply-referenced-
-      // frame trap; measured 2.3 s → 1.0 s at sf0.1)
-      val b = graft.Caches.getOrElseUpdate(
-        s"lm-bigrams:$d:${graft.Caches.fingerprint(s, d)}",
-        Tables.documents(s, d)
-          .withColumn("toks", expr(tokensSpark("text")))
-          .repartition(col("doc_id"))
-          .where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(i AS pos, element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
-            .as("bg"))
-          .select(col("doc_id"), col("bg.pos").as("pos"),
-            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .persist())
+      val b = bigrams(s, d)
       val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
       val v = b.agg(countDistinct("w1").as("vocab"))
@@ -261,6 +313,32 @@ object TextOps {
           expr("round(aggregate(plps, cast(0 AS double), (a, x) -> a + x.logp) / size(plps), 6)")
             .as("avg_logp"))
         .orderBy("doc_id")
+    },
+
+    // The 100 TB form the full-model query's comment promises: model
+    // truncated to the top-K bigrams (deterministic (n2 DESC, w1, w2)
+    // cut), misses scored by the n2=0 smoothed default ln(1/(n1+|V|)).
+    // n_hits exposes how much of each doc the kept model covered, so the
+    // K-vs-coverage trade is measurable per document. Same ordered-fold
+    // float discipline as q_text_lm_score.
+    Q("q_text_lm_topk",
+      s"""WITH $bigramsDuck,
+         |c AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+         |tk AS (SELECT w1, w2, n2 FROM c ORDER BY n2 DESC, w1, w2 LIMIT $LmTopK),
+         |u AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
+         |sc AS (SELECT b.doc_id, b.pos,
+         |    ln((coalesce(tk.n2, 0) + 1.0) / (u.n1 + v.vocab)) AS logp,
+         |    tk.n2 IS NOT NULL AS hit
+         |  FROM b JOIN u ON b.w1 = u.w1
+         |         LEFT JOIN tk ON b.w1 = tk.w1 AND b.w2 = tk.w2, v),
+         |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lps,
+         |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, len(lps) AS n_bigrams, n_hits,
+         |  round(list_sum(lps) / len(lps), 6) AS avg_logp
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      lmTopKScores(s, d, LmTopK)
     },
 
     Q("q_text_tokens",

@@ -187,6 +187,14 @@ object Windows {
         .orderBy("user_id", "day")
     },
 
+    // Streaks via ONE window partitioning: the textbook gaps-and-islands
+    // form re-shuffles on (user_id, grp) for the per-island running count,
+    // but that count equals cum − (cum as of the last streak break), and
+    // "as of the last break" is a running max over the SAME (user_id, day)
+    // order — so every window here shares one Exchange + sort (cum is
+    // nondecreasing, making max(cum where inc=0) exactly the break's cum).
+    // One shuffle instead of two; at 100 TB the saved exchange is the
+    // whole cost of the operator.
     Q("q_streak",
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS daily_v
@@ -196,28 +204,27 @@ object Windows {
         |    CASE WHEN lag(daily_v) OVER w IS NULL
         |           OR daily_v <= lag(daily_v) OVER w THEN 0 ELSE 1 END AS inc
         |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-        |grouped AS (
-        |  SELECT user_id, day, daily_v, inc,
-        |    CAST(sum(1 - inc) OVER (PARTITION BY user_id ORDER BY day
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+        |s AS (
+        |  SELECT user_id, day, inc,
+        |    CAST(sum(inc) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM flagged)
         |SELECT user_id, day,
-        |  CAST(sum(inc) OVER (PARTITION BY user_id, grp ORDER BY day
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS streak
-        |FROM grouped ORDER BY user_id, day""".stripMargin) { (s, d) =>
+        |  cum - coalesce(max(CASE WHEN inc = 0 THEN cum END)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING), 0) AS streak
+        |FROM s ORDER BY user_id, day""".stripMargin) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wRows = wOrd.rowsBetween(Window.unboundedPreceding, 0)
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), col("ts").cast("date").as("day"))
         .agg(sum("value").as("daily_v"))
-      val flagged = daily.withColumn("inc",
-        when(lag(col("daily_v"), 1).over(wOrd).isNull ||
-          col("daily_v") <= lag(col("daily_v"), 1).over(wOrd), 0).otherwise(1))
-      val grouped = flagged.withColumn("grp",
-        sum(lit(1) - col("inc"))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      grouped.withColumn("streak",
-          sum(col("inc")).over(Window.partitionBy(col("user_id"), col("grp"))
-            .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+      daily.withColumn("inc",
+          when(lag(col("daily_v"), 1).over(wOrd).isNull ||
+            col("daily_v") <= lag(col("daily_v"), 1).over(wOrd), 0).otherwise(1))
+        .withColumn("cum", sum(col("inc")).over(wRows).cast("long"))
+        .withColumn("streak", col("cum") - coalesce(
+          max(when(col("inc") === 0, col("cum"))).over(wRows), lit(0L)))
         .select("user_id", "day", "streak")
         .orderBy("user_id", "day")
     },

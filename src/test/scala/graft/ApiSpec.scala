@@ -46,6 +46,42 @@ class ApiSpec extends SparkSpec {
     }.toDF("date", "resting_hr", "hrv_overnight", "hrv_baseline_low",
         "readiness", "sleep_score")
       .write.parquet(s"$d/daily_wellness")
+    locally {
+      // time-series rows for the durability/heat tools: acts 1-3 fully
+      // measured with hand-computable midpoint halves (mid = 15 s, first
+      // half = samples at 0/10, second = 20/30), act 4 a single sample
+      // (unusable span -> reference None), acts 5-12 temperature-only
+      // (heat observations without durability rows)
+      def m(id: Long, t: Double, hr: Option[Double], sp: Option[Double],
+          gct: Option[Double], vo: Option[Double], vr: Option[Double],
+          temp: Double) = (id, t, hr, sp, gct, vo, vr, temp)
+      val fully = Seq(
+        // act 1: HR 100->110 @ const speed = 10% decoupling; gct 250->257.5
+        // = 3% fade; vo 8->8.4 = 5%; vr absent
+        m(1L, 0.0, Some(100.0), Some(3.0), Some(250.0), Some(8.0), None, 20.0),
+        m(1L, 10.0, Some(100.0), Some(3.0), Some(250.0), Some(8.0), None, 20.0),
+        m(1L, 20.0, Some(110.0), Some(3.0), Some(255.0), Some(8.4), None, 30.0),
+        m(1L, 30.0, Some(110.0), Some(3.0), Some(260.0), Some(8.4), None, 30.0),
+        // act 2: 5% decoupling, no form metrics
+        m(2L, 0.0, Some(100.0), Some(3.0), None, None, None, 10.0),
+        m(2L, 10.0, Some(100.0), Some(3.0), None, None, None, 10.0),
+        m(2L, 20.0, Some(105.0), Some(3.0), None, None, None, 10.0),
+        m(2L, 30.0, Some(105.0), Some(3.0), None, None, None, 10.0),
+        // act 3: perfectly durable (0%)
+        m(3L, 0.0, Some(100.0), Some(3.0), None, None, None, 18.0),
+        m(3L, 10.0, Some(100.0), Some(3.0), None, None, None, 18.0),
+        m(3L, 20.0, Some(100.0), Some(3.0), None, None, None, 18.0),
+        m(3L, 30.0, Some(100.0), Some(3.0), None, None, None, 18.0),
+        // act 4: single sample -> empty span, excluded
+        m(4L, 0.0, Some(100.0), Some(3.0), None, None, None, 14.0))
+      val tempOnly = (5 to 12).flatMap(i => Seq(
+        m(i.toLong, 0.0, None, None, None, None, None, 10.0 + i),
+        m(i.toLong, 10.0, None, None, None, None, None, 10.0 + i)))
+      (fully ++ tempOnly).toDF("activity_id", "timestamp_s", "heart_rate",
+          "speed", "ground_contact_time", "vertical_oscillation",
+          "vertical_ratio", "air_temperature")
+        .write.parquet(s"$d/time_series_metrics")
+    }
     d
   }
 

@@ -193,6 +193,27 @@ class DedupSpec extends SparkSpec {
     assert(capped === plain)
   }
 
+  test("fractional df cap reproduces the absolute cap where ceil(frac·N) = maxDf") {
+    // sf0.01 has ~500 shingled docs -> ceil(0.01·N) = 5 = NgramMaxDf, so
+    // the two variants must agree to the bit (identical postings in,
+    // identical arithmetic out) — the VERDICT-r4 closure of the "absolute
+    // cap is the non-scale form" caveat.
+    val sf01 = "/root/testdata/sf0.01"
+    val abs = SparkEntry.queries("q_dedup_ngram_capped")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val frac = SparkEntry.queries("q_dedup_ngram_fcapped")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(abs.nonEmpty && abs === frac)
+  }
+
+  test("fractional cap scales down with the corpus: tiny N caps at df 1") {
+    // 4 docs -> ceil(0.01·4) = 1: every shingle present in 2+ docs is
+    // "boilerplate" at this corpus size, so no candidate pair survives —
+    // the cap is corpus-relative where the absolute form is inert.
+    assert(SparkEntry.queries("q_dedup_ngram_fcapped")(spark, dir)
+      .collect().isEmpty)
+  }
+
   test("incremental dedup: new batch survives only where the corpus has no match") {
     // corpus split by parity: seen = {0, 2}, new batch = {1, 3}.
     // 1 is an exact copy of seen doc 0 -> dropped; 3 is unrelated -> kept.

@@ -77,6 +77,44 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(0L)._2 > scores(4L)._2, s"typical ${scores(0L)} vs rare ${scores(4L)}")
   }
 
+  test("top-K LM: oversized K reproduces the full model; K=1 exercises misses") {
+    val full = SparkEntry.queries("q_text_lm_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bigK = operators.TextOps.lmTopKScores(spark, dir, 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    bigK.foreach { case (id, nb, nh, avg) =>
+      assert(nh === nb) // every bigram hits an un-truncated model
+      assert((nb, avg) === full(id))
+    }
+    // K=1 keeps only ('data','data') (n2=9, the unique max): truncation
+    // can only LOWER smoothed probabilities — strictly when a doc misses
+    val k1 = operators.TextOps.lmTopKScores(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    k1.foreach { case (id, nb, nh, avg) =>
+      if (nh < nb) assert(avg < full(id)._2)
+      else assert(avg === full(id)._2)
+    }
+    assert(k1.exists { case (_, nb, nh, _) => nh < nb })
+    assert(k1.exists { case (_, _, nh, _) => nh > 0 })
+  }
+
+  test("top-K LM miss path scores exactly the n2=0 smoothed default") {
+    import graft.functions.TextHash
+    // doc 5's tokens appear nowhere else, so at K=1 every bigram misses
+    // with first-word unigram count 1: avg_logp = ln(1/(1+|V|)), |V| =
+    // distinct first-words corpus-wide (recomputed here independently)
+    val v = Tables.documents(spark, dir)
+      .withColumn("toks", expr(TextHash.tokensSpark("text")))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr("slice(toks, 1, size(toks) - 1)")).as("w1"))
+      .agg(countDistinct("w1")).head.getLong(0)
+    val d5 = operators.TextOps.lmTopKScores(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .find(_._1 == 5L).get
+    assert(d5._3 === 0L) // zero hits
+    assert(math.abs(d5._4 - math.log(1.0 / (1 + v))) < 1e-6)
+  }
+
   test("ranks are contiguous and ordered by (score desc, doc_id)") {
     val rows = SparkEntry.queries("q_bm25_rank")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
