@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd vector kernels for the similarity / ANN path.
   *
@@ -17,14 +17,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * boxing), which is the difference between scanning an embedding column at
   * memory bandwidth and at interpreter speed.
   *
-  * All three assume non-null array ELEMENTS (the callers build their arrays
-  * with `transform` over non-null embedding columns); a null array input
-  * yields null via the standard null-intolerant contract. Evaluation order
-  * is the same left-to-right fold as the HOFs they replace, so integer
-  * results are bit-identical and double results reproduce the exact
-  * sequential sum the DuckDB oracles compute.
+  * Contract (identical to the HOF chain these replace, so results are
+  * bit-equal on every input, not just the happy path):
+  *  - inputs coerce through ImplicitCastInputTypes — `dot_long` over an
+  *    ARRAY<INT> literal widens to ARRAY<BIGINT> at analysis instead of
+  *    reading int-backed ArrayData as longs (garbage/ClassCastException);
+  *    a non-castable type fails analysis;
+  *  - a null ARRAY yields null (standard null-intolerant contract);
+  *  - mismatched lengths yield null — zip_with pads the short side with
+  *    null and the fold propagates it; the kernels short-circuit instead
+  *    of silently dotting a prefix;
+  *  - a null ELEMENT yields null, same propagation. The per-element null
+  *    check is one predictable branch (bit test on the null bitmap) —
+  *    unmeasurable next to the multiply-add on dense data.
+  * Evaluation order is the same left-to-right fold as the HOFs, so
+  * integer results are bit-identical and double results reproduce the
+  * exact sequential sum the DuckDB oracles compute.
   */
-abstract class ArrayFoldBinary extends BinaryExpression {
+abstract class ArrayFoldBinary extends BinaryExpression with ImplicitCastInputTypes {
+  /** Element type both argument arrays must carry (after coercion). */
+  protected def elemType: DataType
+  // return type inferred: AbstractDataType is private[sql] in Spark 4
+  override def inputTypes = Seq(ArrayType(elemType), ArrayType(elemType))
+  // mismatch / null-element rows are null even when both inputs are
+  // non-null, so nullability cannot be inherited from the children
+  override def nullable: Boolean = true
+
   /** Java source for one loop step, accumulating into `acc` from index `i`
     * of arrays `a` and `b`.
     */
@@ -37,13 +55,20 @@ abstract class ArrayFoldBinary extends BinaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("nullElem")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |$accJavaType $acc = $accInit;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${stepJava(acc, a, b, i)}
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  $accJavaType $acc = $accInit;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    ${stepJava(acc, a, b, i)}
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -54,15 +79,20 @@ abstract class ArrayFoldBinary extends BinaryExpression {
 case class DotLong(left: Expression, right: Expression) extends ArrayFoldBinary {
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
+  override protected def elemType: DataType = LongType
   override protected def accJavaType: String = "long"
   override protected def accInit: String = "0L"
   override protected def stepJava(acc: String, a: String, b: String, i: String) =
     s"$acc += $a.getLong($i) * $b.getLong($i);"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L; var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i); i += 1
+    }
     s
   }
   override protected def withNewChildrenInternal(
@@ -77,15 +107,20 @@ case class DotLong(left: Expression, right: Expression) extends ArrayFoldBinary 
 case class DotDouble(left: Expression, right: Expression) extends ArrayFoldBinary {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
+  override protected def elemType: DataType = DoubleType
   override protected def accJavaType: String = "double"
   override protected def accInit: String = "0.0"
   override protected def stepJava(acc: String, a: String, b: String, i: String) =
     s"$acc += $a.getDouble($i) * $b.getDouble($i);"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0; var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
   override protected def withNewChildrenInternal(
@@ -99,15 +134,20 @@ case class DotDouble(left: Expression, right: Expression) extends ArrayFoldBinar
 case class SqDistLong(left: Expression, right: Expression) extends ArrayFoldBinary {
   override def dataType: DataType = LongType
   override def prettyName: String = "sqdist_long"
+  override protected def elemType: DataType = LongType
   override protected def accJavaType: String = "long"
   override protected def accInit: String = "0L"
   override protected def stepJava(acc: String, a: String, b: String, i: String) =
     s"{ final long d = $a.getLong($i) - $b.getLong($i); $acc += d * d; }"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L; var i = 0
-    while (i < n) { val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1
+    }
     s
   }
   override protected def withNewChildrenInternal(
@@ -122,15 +162,20 @@ case class SqDistLong(left: Expression, right: Expression) extends ArrayFoldBina
 case class SqDistDouble(left: Expression, right: Expression) extends ArrayFoldBinary {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sqdist_double"
+  override protected def elemType: DataType = DoubleType
   override protected def accJavaType: String = "double"
   override protected def accInit: String = "0.0"
   override protected def stepJava(acc: String, a: String, b: String, i: String) =
     s"{ final double d = $a.getDouble($i) - $b.getDouble($i); $acc += d * d; }"
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0; var i = 0
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+    }
     s
   }
   override protected def withNewChildrenInternal(

@@ -148,11 +148,16 @@ object Streams {
       .drop("__seen")
   }
 
-  /** Input/output rows for [[personalRecordStream]]. */
-  final case class RecordEvent(user_id: Long, ts: java.sql.Timestamp,
-      value: Double)
-  final case class RecordBroken(user_id: Long, ts: java.sql.Timestamp,
-      value: Double, prev_best: Option[Double])
+  /** Input/output rows for [[personalRecordStream]]. `event_id` is part of
+    * the contract, not decoration: the batch twin (q_record_events) breaks
+    * same-timestamp ties on (ts, event_id), and without the id the stream
+    * could not reproduce that order (ADVICE r4 — a value-ordered tie-break
+    * emitted records the batch suppresses).
+    */
+  final case class RecordEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class RecordBroken(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, prev_best: Option[Double])
 
   /** Personal-record detection with custom keyed state
     * (`flatMapGroupsWithState`): emit an event only when it beats the
@@ -166,9 +171,11 @@ object Streams {
     *
     * Scale: state size = 8 bytes x |users| regardless of event volume;
     * each micro-batch shuffles only its own rows to their key's state
-    * partition. Events inside a micro-batch are processed in (ts, value)
-    * order — the iterator order Spark hands the function is otherwise
-    * unspecified.
+    * partition. Events inside a micro-batch are processed in (ts,
+    * event_id) order — the iterator order Spark hands the function is
+    * otherwise unspecified, and this is the SAME total order the batch
+    * twin's window uses, so batch and stream emit the same record set on
+    * any input, equal timestamps included.
     */
   def personalRecordStream(
       events: org.apache.spark.sql.Dataset[RecordEvent])
@@ -180,9 +187,9 @@ object Streams {
         (user: Long, it: Iterator[RecordEvent], state: GroupState[Double]) =>
           var best = state.getOption
           val out = Seq.newBuilder[RecordBroken]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             if (best.forall(e.value > _)) {
-              out += RecordBroken(user, e.ts, e.value, best)
+              out += RecordBroken(user, e.event_id, e.ts, e.value, best)
               best = Some(e.value)
             }
           }

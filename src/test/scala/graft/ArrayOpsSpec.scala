@@ -61,6 +61,40 @@ class ArrayOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("length mismatch yields null, matching the zip_with/aggregate contract") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L))).toDF("a", "b")
+    val r = df.select(
+      ArrayOps.dotLong($"a", $"b").as("dot"),
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc + x)")
+        .as("hof"),
+      ArrayOps.sqDistDouble($"a".cast("array<double>"), $"b".cast("array<double>"))
+        .as("sq")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("null element yields null, matching the HOF propagation") {
+    val df = Seq((Seq(Option(1L), None, Option(3L)), Seq(Option(4L), Option(5L), Option(6L))))
+      .toDF("a", "b")
+    val r = df.select(
+      ArrayOps.dotLong($"a", $"b").as("dot"),
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc + x)")
+        .as("hof")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL surface coerces ARRAY<INT> instead of reading garbage") {
+    functions.GraftFunctions.register(spark)
+    // un-suffixed literals are INTs: pre-coercion these passed analysis and
+    // read int-backed ArrayData as longs
+    val r = spark.sql(
+      """SELECT dot_long(array(1, 2), array(3, 4)) AS d,
+        |  sqdist_long(array(1, 2), array(3, 4)) AS sq,
+        |  dot_double(array(1, 2), array(3, 4)) AS dd""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 11L)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 11.0)
+  }
+
   test("SQL registration: kernels callable by name from spark.sql") {
     functions.GraftFunctions.register(spark)
     val r = spark.sql(

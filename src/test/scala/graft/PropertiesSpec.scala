@@ -131,3 +131,73 @@ object DomainProperties extends Properties("graft.domain") {
         (t > 15.0 || h == 0.0)
     }
 }
+
+/** Adversarial-shape fuzzing of the distributed connected-components
+  * operator against an in-memory union-find referee — CC is load-bearing
+  * for three oracle queries plus the split assignment, and the example
+  * specs only cover paths/chains. Case count is small (each case is a
+  * full iterative Spark job) but shapes are random: multi-edges,
+  * self-loops, several components, isolated-free by construction.
+  */
+object GraphProperties extends Properties("graft.operators.GraphOps") {
+
+  // each case runs an iterative Spark job — 8 random shapes + the fixed
+  // star cases below give shape coverage without minutes of wall-clock
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Min-rooted union-find: the root of every tree is the component's
+    * minimum label, so `find` agrees with GraphOps' min-label contract.
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.operators.GraphOps
+      .connectedComponents(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.choose(2, 30).flatMap { n =>
+      Gen.choose(1, 50).flatMap { m =>
+        Gen.listOfN(m,
+          Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+      }
+    }
+
+  property("matches the union-find referee on random edge sets") =
+    forAll(edgeGen) { edges => ccOf(edges) == unionFind(edges) }
+
+  property("star graph: 200-leaf max-degree hub labels everything 0") = {
+    val edges = (1L to 200L).map(i => (i, 0L))
+    ccOf(edges) == edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(_ -> 0L).toMap
+  }
+
+  property("inverted star: min label crosses the high-id hub") = {
+    // leaves 0..199 meet only through hub 500 — the min label must travel
+    // leaf -> hub -> every other leaf
+    val edges = (0L until 200L).map(i => (i, 500L))
+    val got = ccOf(edges)
+    got.size == 201 && got.values.forall(_ == 0L)
+  }
+}

@@ -149,20 +149,21 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
     val recs = Streams.personalRecordStream(
-      mem.toDF.toDF("user_id", "ts", "value").as[Streams.RecordEvent])
+      mem.toDF.toDF("user_id", "event_id", "ts", "value")
+        .as[Streams.RecordEvent])
     val q = recs.writeStream.format("memory").queryName("prs")
       .outputMode("append").start()
     try {
       // batch 1: first value is always a record; the later higher value
       // too; the dip between them is not. user 2 is independent state.
-      mem.addData((1L, ts(1), 3.0), (1L, ts(2), 5.0), (1L, ts(3), 4.0),
-        (2L, ts(1), 9.0))
+      mem.addData((1L, 1L, ts(1), 3.0), (1L, 2L, ts(2), 5.0),
+        (1L, 3L, ts(3), 4.0), (2L, 4L, ts(1), 9.0))
       q.processAllAvailable()
       // batch 2: 4.9 < the 5.0 best carried in state -> silent;
       // 7.0 beats it -> emitted with prev_best = 5.0
-      mem.addData((1L, ts(10), 4.9), (1L, ts(11), 7.0))
+      mem.addData((1L, 5L, ts(10), 4.9), (1L, 6L, ts(11), 7.0))
       q.processAllAvailable()
       val rows = spark.sql(
         "SELECT user_id, value, prev_best FROM prs ORDER BY user_id, value")
@@ -182,30 +183,43 @@ class StreamsSpec extends SparkSpec {
     val events = Seq(
       (1L, ts(1), 1L, 3.0), (2L, ts(2), 1L, 5.0), (3L, ts(3), 1L, 4.0),
       (4L, ts(10), 1L, 4.9), (5L, ts(11), 1L, 7.0),
-      (6L, ts(1), 2L, 9.0), (7L, ts(2), 2L, 8.0))
+      (6L, ts(1), 2L, 9.0), (7L, ts(2), 2L, 8.0),
+      // EQUAL timestamps for user 3: the (ts, event_id) order sees 5.0
+      // first, so 3.0 is not a record — a value-ordered stream would
+      // wrongly emit both (ADVICE r4)
+      (8L, ts(5), 3L, 5.0), (9L, ts(5), 3L, 3.0))
     // batch path: same rows as a parquet events table
     val dir = java.nio.file.Files.createTempDirectory("graft-rec").toString
     events.map { case (id, t, u, v) => (id, t, u, "a", v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val batch = SparkEntry.queries("q_record_events")(spark, dir).collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"),
         Option(r.get(r.fieldIndex("prev_best"))).map(_.asInstanceOf[Double])))
       .toSet
     // stream path: same rows through flatMapGroupsWithState
-    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
     val q = Streams.personalRecordStream(
-      mem.toDF.toDF("user_id", "ts", "value").as[Streams.RecordEvent])
+      mem.toDF.toDF("user_id", "event_id", "ts", "value")
+        .as[Streams.RecordEvent])
       .writeStream.format("memory").queryName("recpar")
       .outputMode("append").start()
     try {
-      events.foreach { case (_, t, u, v) => mem.addData((u, t, v)) }
+      events.filter(_._3 != 3L)
+        .foreach { case (id, t, u, v) => mem.addData((u, id, t, v)) }
+      // the equal-ts pair rides ONE micro-batch, inserted value-ascending:
+      // only the (ts, event_id) sort puts the 5.0 record first — a
+      // value-ordered or insertion-ordered fold would emit both
+      mem.addData((3L, 9L, ts(5), 3.0), (3L, 8L, ts(5), 5.0))
       q.processAllAvailable()
-      val stream = spark.sql("SELECT user_id, value, prev_best FROM recpar")
+      val stream = spark.sql(
+        "SELECT user_id, event_id, value, prev_best FROM recpar")
         .collect()
-        .map(r => (r.getLong(0), r.getDouble(1),
-          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
       assert(batch === stream)
+      assert(stream.exists(_._2 == 8L) && !stream.exists(_._2 == 9L))
     } finally q.stop()
   }
 
