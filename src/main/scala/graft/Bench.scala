@@ -57,15 +57,19 @@ object Bench {
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    // Full-precision named map -> repo file (best-effort: bench must still
-    // report on a read-only working directory).
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}")
+    // Full-precision named map -> repo file. Full-suite runs only — a
+    // focused SPARK_GRAFT_ONLY iteration must not clobber the last
+    // complete map. Best-effort: bench must still report on a read-only
+    // working directory.
+    if (only.isEmpty) {
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$fullQs,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}")
+      }
     }
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")

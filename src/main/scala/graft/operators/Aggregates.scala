@@ -627,9 +627,13 @@ object Aggregates {
     // the median and MAD don't move). z = 0.6745·(v − med)/MAD, |z| > 3.5
     // flags (the standard Iglewicz–Hoban cut). Exact interpolated medians
     // in both engines; a zero-MAD group (constant metric) yields no
-    // outliers rather than a divide-by-zero. Shape: two grouped exact
-    // medians (the same typed aggregate q_stats_block uses) + one
-    // counting pass, all keyed on user_id — skew-free; at 100 TB the
+    // outliers rather than a divide-by-zero. Shape: the two exact medians
+    // run as WINDOW aggregates over the SAME user_id partitioning, so the
+    // whole chain (median → abs-dev → MAD → flag-count) rides ONE
+    // Exchange + one sort — the r4 join formulation paid ~4 exchanges for
+    // the two grouped medians plus their joins. The final groupBy's
+    // (user_id, med, mad) clustering is satisfied by the window's
+    // hash(user_id) partitioning, so no further shuffle; at 100 TB the
     // medians swap to the grouped-histogram form noted on q_profile.
     Q("q_outlier_mad",
       """WITH m AS (
@@ -645,12 +649,11 @@ object Aggregates {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN md USING (user_id)
         |GROUP BY 1, 2, 3 ORDER BY d.user_id""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d).select("user_id", "value")
-      val m = ev.groupBy("user_id").agg(median(col("value")).as("med"))
-      val dd = ev.join(m, Seq("user_id"))
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d).select("user_id", "value")
+        .withColumn("med", expr("percentile(value, 0.5)").over(wu))
         .withColumn("adev", abs(col("value") - col("med")))
-      val md = dd.groupBy("user_id").agg(median(col("adev")).as("mad"))
-      dd.join(md, Seq("user_id"))
+        .withColumn("mad", expr("percentile(adev, 0.5)").over(wu))
         .groupBy("user_id", "med", "mad")
         .agg(count(lit(1)).as("n"),
           sum(when(col("mad") > 0 &&
