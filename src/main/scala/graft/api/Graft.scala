@@ -484,6 +484,18 @@ final class Graft(val spark: SparkSession, root: String) {
     def lmScores(corpusDir: String): DataFrame =
       SparkEntryQueries("q_text_lm_score", corpusDir)
 
+    /** LM scores under the top-K-truncated model (the K-bounded broadcast
+      * form for vocabularies too large to ship whole).
+      */
+    def lmScoresTopK(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_text_lm_topk", corpusDir)
+
+    /** Near-dup pairs under the corpus-relative df-fraction boilerplate
+      * cap (the cap that keeps working as the corpus grows).
+      */
+    def nearDupPairsCapped(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_dedup_ngram_fcapped", corpusDir)
+
     /** Train the IVF coarse quantizer and search the trained cells. */
     def annSearch(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ivf_trained", corpusDir)
