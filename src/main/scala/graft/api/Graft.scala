@@ -496,6 +496,18 @@ final class Graft(val spark: SparkSession, root: String) {
     def nearDupPairsCapped(corpusDir: String): DataFrame =
       SparkEntryQueries("q_dedup_ngram_fcapped", corpusDir)
 
+    /** SemDeDup-style embedding-space dedup: kept/dropped per vector,
+      * pruned within trained k-means cells.
+      */
+    def semanticDedup(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_semdedup", corpusDir)
+
+    /** Token-budget curation: the best documents by lexical diversity
+      * until the training-token budget is filled.
+      */
+    def budgetSelect(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_budget_select", corpusDir)
+
     /** Train the IVF coarse quantizer and search the trained cells. */
     def annSearch(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ivf_trained", corpusDir)

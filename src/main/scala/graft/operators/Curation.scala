@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Training-token budget for q_budget_select — sized to bite at every
+    * test scale (sf0.001 carries ~6k corpus tokens, so even the smallest
+    * fixture exercises the cutoff).
+    */
+  val TokenBudget: Long = 3000L
+
   /** Per-document curation status — the doc-level view the report
     * aggregates (exposed for the API facade and specs).
     */
@@ -118,6 +124,62 @@ object Curation {
           expr("start_tok DIV 256").as("seq_id"),
           (col("start_tok") % 256).as("seq_offset"))
         .orderBy("source", "doc_id")
+    },
+
+    // TOKEN-BUDGET SELECTION: fill a fixed training-token budget with the
+    // best documents — rank by lexical diversity (distinct-token count,
+    // integer → exact cross-engine), take docs while the running token
+    // total stays inside the budget. The running sum over a GLOBAL order
+    // is the classic single-partition-window trap; here it is a
+    // DISTRIBUTED PREFIX SUM: range-partition by the rank key (pid order
+    // = global rank order), per-partition token totals (one tiny
+    // #partitions-row aggregate) prefix-summed on the driver and
+    // broadcast back as offsets, then each partition's cumsum is a LOCAL
+    // window + its offset. No partition ever holds more than its share
+    // of rows — the same plan runs a 500-doc gate and a 100 TB corpus.
+    // (The oracle states the semantics directly as one ordered window.)
+    Q("q_budget_select",
+      s"""WITH t AS (SELECT doc_id,
+         |    ${graft.functions.TextHash.tokensDuck("text")} AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::BIGINT AS diversity FROM t),
+         |c AS (SELECT doc_id, diversity, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM m)
+         |SELECT doc_id, diversity, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(graft.functions.TextHash.tokensSpark("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("diversity"))
+      // pid order = global (diversity DESC, doc_id) order by construction
+      val parts = m.repartitionByRange(8, desc("diversity"), asc("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      // per-partition totals: ≤ #partitions rows — the licensed tiny
+      // driver collect (same pattern as the profiler bounds)
+      val sums = parts.groupBy("pid").agg(sum("n_tokens").as("psum"))
+        .orderBy("pid").collect()
+        .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("psum")))
+      val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (pid, ps)) =>
+        (pid, acc + ps)
+      }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+        .toSeq
+      val offDf = s.createDataFrame(offsets).toDF("pid", "offset")
+      val w = Window.partitionBy("pid")
+        .orderBy(desc("diversity"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      parts.join(broadcast(offDf), Seq("pid"))
+        .withColumn("cum_tokens",
+          (sum("n_tokens").over(w) + col("offset")).cast("long"))
+        .where(col("cum_tokens") <= TokenBudget)
+        .select("doc_id", "diversity", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
     },
 
     // Quantile-trim report — the outlier-trimming curation rule (drop the

@@ -503,6 +503,55 @@ object Similarity {
         .where(col("rnk") <= 3)
         .select("q_id", "rnk", "nn_id", "cosine")
         .orderBy("q_id", "rnk")
+    },
+
+    // SEMANTIC DEDUP (SemDeDup shape): prune embedding-space near-copies
+    // WITHIN each trained k-means cell — quantize → train → assign (the
+    // persisted IVF assignment), then integer-cosine pairs inside a cell
+    // only, dropping every vector that has a smaller-id partner at
+    // cosine >= 0.4 (deterministic greedy keep-the-first, the same
+    // min-id survivor rule the text dedup uses). The cell blocking is
+    // what makes it a 100 TB operator: candidate pairs are bounded per
+    // cell (k chosen so cells fit), the join is an equi-join on cid, and
+    // no cross-cell pair is ever materialized — exactly the published
+    // SemDeDup recipe (cluster, then prune within cluster). Output is
+    // every vector with its cell and kept/dropped status.
+    Q("q_semdedup",
+      s"""WITH $kmeansDuck,
+         |n8s AS (SELECT vec_id, qv, cid,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM a2),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CASE WHEN a.qn * b.qn = 0 THEN NULL
+         |         ELSE list_sum(list_transform(a.qv, (x,i) -> x * b.qv[i]))::DOUBLE
+         |           / (a.qn * b.qn) END AS cosine
+         |  FROM n8s a JOIN n8s b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cosine >= 0.4)
+         |SELECT n.vec_id, n.cid,
+         |  CASE WHEN dr.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS status
+         |FROM n8s n LEFT JOIN dr USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      val n8s = kmeansAssign(s, d)
+        .withColumn("qn",
+          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
+      val a = n8s.select(col("cid"), col("vec_id").as("a_id"),
+        col("qv").as("qa"), col("qn").as("na"))
+      val b = n8s.select(col("cid"), col("vec_id").as("b_id"),
+        col("qv").as("qb"), col("qn").as("nb"))
+      val dropped = a.join(b, Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("b_id"),
+          try_divide(ArrayOps.dotLong(col("qa"), col("qb")).cast("double"),
+            col("na") * col("nb")).as("cosine"))
+        .where(col("cosine") >= 0.4)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1))
+      n8s.select("vec_id", "cid")
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cid"),
+          when(col("is_dropped").isNotNull, "dropped").otherwise("kept")
+            .as("status"))
+        .orderBy("vec_id")
     }
   )
 }

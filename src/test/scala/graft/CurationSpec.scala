@@ -163,4 +163,30 @@ class CurationSpec extends SparkSpec {
       assert(j >= 0.5 && j <= 1.0) // pairs exist only at/above threshold
     }
   }
+
+  test("budget select: a tight rank-order prefix under the token budget") {
+    import graft.functions.TextHash
+    // referee ranking computed independently of the distributed prefix sum
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(TextHash.tokensSpark("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("dv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, dv) => (-dv, id) }
+    val wantIds = ranked.scanLeft((0L, 0L)) { case ((_, acc), (id, n, _)) =>
+      (id, acc + n)
+    }.drop(1).takeWhile(_._2 <= operators.Curation.TokenBudget)
+      .map(_._1).toSet
+    val got = SparkEntry.queries("q_budget_select")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSet === wantIds)
+    assert(got.nonEmpty && got.map(_._2).max <= operators.Curation.TokenBudget)
+    // tightness: the next-ranked excluded doc would overflow the budget
+    val nextIdx = wantIds.size
+    if (nextIdx < ranked.length) {
+      val spent = got.map(_._2).max
+      assert(spent + ranked(nextIdx)._2 > operators.Curation.TokenBudget)
+    }
+  }
 }

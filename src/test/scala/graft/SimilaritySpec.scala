@@ -116,4 +116,29 @@ class SimilaritySpec extends SparkSpec {
       assert(nnId !== qId)
     }
   }
+
+  test("semdedup: dropped iff a smaller-id same-cell partner clears the bar") {
+    // driver-side referee: recompute every within-cell quantized cosine
+    // and derive the expected keep/drop set independently
+    val asg = operators.Similarity.kmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](r.fieldIndex("qv")).toArray,
+        r.getLong(r.fieldIndex("cid"))))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expectDropped = (for {
+      (bi, bv, bc) <- asg
+      (ai, av, ac) <- asg
+      if ac == bc && ai < bi && cos(av, bv) >= 0.4
+    } yield bi).toSet
+    val got = SparkEntry.queries("q_semdedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size === asg.length)
+    asg.foreach { case (id, _, _) =>
+      val want = if (expectDropped(id)) "dropped" else "kept"
+      assert(got(id) === want, s"vec $id")
+    }
+  }
 }
