@@ -508,6 +508,12 @@ final class Graft(val spark: SparkSession, root: String) {
     def budgetSelect(corpusDir: String): DataFrame =
       SparkEntryQueries("q_budget_select", corpusDir)
 
+    /** DSIR-style importance weights: per-doc log-likelihood ratio of the
+      * target-domain bigram model vs the corpus model.
+      */
+    def dsirWeights(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_dsir_weight", corpusDir)
+
     /** Train the IVF coarse quantizer and search the trained cells. */
     def annSearch(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ivf_trained", corpusDir)

@@ -341,6 +341,73 @@ object TextOps {
       lmTopKScores(s, d, LmTopK)
     },
 
+    // DSIR-style importance weight (Data Selection via Importance
+    // Resampling): per-document mean log-likelihood RATIO between a
+    // target-domain bigram model (trained on the 'src0' slice) and the
+    // corpus model — positive means "looks like the target domain", the
+    // ranking signal for domain-matched data selection. Both models are
+    // add-1 smoothed over the SAME corpus-wide vocabulary so the ratio is
+    // well-defined for bigrams the target never saw (c_t = 0 path). Scale
+    // shape: both models are vocab-bounded and broadcast (target side is
+    // a slice, so its tables are strictly smaller); the probe stream is
+    // the shared persisted bigram frame; per-doc logp-diff folds are
+    // position-ordered for cross-engine float parity (round 6).
+    Q("q_dsir_weight",
+      s"""WITH $bigramsDuck,
+         |src AS (SELECT doc_id, source FROM documents),
+         |bs AS (SELECT b.*, CASE WHEN src.source = 'src0' THEN 1 ELSE 0 END
+         |    AS is_t
+         |  FROM b JOIN src USING (doc_id)),
+         |c AS (SELECT w1, w2, count(*) AS n2, sum(is_t) AS t2
+         |  FROM bs GROUP BY 1, 2),
+         |u AS (SELECT w1, count(*) AS n1, sum(is_t) AS t1
+         |  FROM bs GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
+         |sc AS (SELECT b.doc_id, b.pos,
+         |    ln((c.t2 + 1.0) / (u.t1 + v.vocab))
+         |      - ln((c.n2 + 1.0) / (u.n1 + v.vocab)) AS lr
+         |  FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |         JOIN u ON b.w1 = u.w1, v),
+         |agg AS (SELECT doc_id, list(lr ORDER BY pos) AS lrs
+         |  FROM sc GROUP BY doc_id)
+         |SELECT a.doc_id, s.source, len(a.lrs) AS n_bigrams,
+         |  round(list_sum(a.lrs) / len(a.lrs), 6) AS dsir_weight
+         |FROM agg a JOIN src s USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val b = bigrams(s, d)
+      // the doc→source map is narrow but corpus-sized: join it on doc_id,
+      // where the bigram stream is ALREADY hash-partitioned (the persisted
+      // frame repartitions before exploding) — only the small side
+      // shuffles, the stream does not move
+      val src = Tables.documents(s, d).select("doc_id", "source")
+      val bs = b.join(src, Seq("doc_id"))
+        .withColumn("is_t", (col("source") === "src0").cast("long"))
+      // corpus and target counts in the SAME aggregation — one shuffle
+      // per model table instead of separate corpus/target pipelines, and
+      // the t2 = 0 rows make the downstream join an inner one (no
+      // left-join null paths)
+      val c = bs.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n2"), sum("is_t").as("t2"))
+      val u = bs.groupBy("w1")
+        .agg(count(lit(1)).as("n1"), sum("is_t").as("t1"))
+      val v = b.agg(countDistinct("w1").as("vocab"))
+      b.join(broadcast(c), Seq("w1", "w2"))
+        .join(broadcast(u), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("pos"),
+          expr("ln((t2 + 1.0) / (t1 + vocab))" +
+            " - ln((n2 + 1.0) / (n1 + vocab))").as("lr"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("lr"))))
+          .as("plrs"))
+        .join(src, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(col("plrs")).cast("long").as("n_bigrams"),
+          expr("round(aggregate(plrs, cast(0 AS double), (a, x) -> a + x.lr) / size(plrs), 6)")
+            .as("dsir_weight"))
+        .orderBy("doc_id")
+    },
+
     Q("q_text_tokens",
       s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens,

@@ -115,6 +115,19 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(d5._4 - math.log(1.0 / (1 + v))) < 1e-6)
   }
 
+  test("DSIR weight separates the target domain from the rest") {
+    // the importance weight is a domain-match ranking signal: target-slice
+    // docs must average strictly higher than the rest of the corpus, and
+    // a weight of ~0 means corpus-typical
+    val rows = SparkEntry.queries("q_dsir_weight")(spark, sfDir).collect()
+      .map(r => (r.getString(1) == "src0", r.getDouble(3)))
+    val (target, rest) = rows.partition(_._1)
+    assert(target.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(Boolean, Double)]) = xs.map(_._2).sum / xs.length
+    assert(mean(target) > mean(rest),
+      s"target mean ${mean(target)} should exceed non-target ${mean(rest)}")
+  }
+
   test("ranks are contiguous and ordered by (score desc, doc_id)") {
     val rows = SparkEntry.queries("q_bm25_rank")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
