@@ -38,6 +38,21 @@ object TextOps {
     */
   private val bm25Terms = Seq("data", "join", "dup")
 
+  /** Fixed 3-token phrase for the positional-index search (present as an
+    * adjacent run in ~1.4 % of synthetic docs — rare enough that the
+    * positional join is load-bearing, common enough that every test scale
+    * returns rows).
+    */
+  private val phrase = Seq("part", "filter", "scan")
+
+  /** Hashed-classifier model: bucket count + deterministic integer weight
+    * lattice in [-1000, 1000] (same generator family as the LSH planes —
+    * reproducible, no RNG). A trained model would slot in unchanged.
+    */
+  private val ClfB = 64
+  private[graft] val clfWeights: Seq[Long] =
+    (0 until ClfB).map(b => ((b * 2654435761L) % 2001L) - 1000L)
+
   /** One term's BM25 contribution (k1 = 1.2, b = 0.75) over columns
     * (tf_<t>, dl, avgdl, nd, df_<t>) — ONE string `expr()`-ed on the Spark
     * side and spliced into the oracle, so both dialects evaluate the
@@ -826,6 +841,92 @@ object TextOps {
           coalesce(col("new_toks"), lit(0L)).cast("long").as("new_tokens"))
         .withColumn("vocab_size", sum("new_tokens").over(w).cast("long"))
         .orderBy("decile")
+    },
+
+    // Positional phrase search — exact phrase match ("part filter scan")
+    // via an inverted index WITH POSITIONS, the retrieval shape BM25's
+    // bag-of-words scoring can't express. Each phrase term filters the
+    // postings stream to (doc_id, pos - offset): a phrase occurrence is
+    // one (doc_id, start) key present in ALL per-term streams, so the
+    // match is a chain of equi-joins on (doc_id, start) — hash-partitioned,
+    // no positions array ever compared element-wise. At 100 TB the
+    // postings table is the pre-built term-bucketed index and each term's
+    // filter is a bucket lookup; the join chain is unchanged. Matches
+    // roll up per doc (count + first position).
+    Q("q_phrase_search", {
+      val terms = phrase.zipWithIndex.map { case (w, i) =>
+        s"m$i AS (SELECT doc_id, pos - $i AS start FROM post WHERE tok = '$w')"
+      }.mkString(",\n")
+      val joins = phrase.indices.tail
+        .map(i => s"JOIN m$i USING (doc_id, start)").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks)),
+         |    i -> {'pos': i, 'tok': toks[i]})) AS pt
+         |  FROM t WHERE len(toks) >= ${phrase.length}),
+         |post AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM p),
+         |$terms,
+         |mm AS (SELECT m0.doc_id, m0.start FROM m0 $joins)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(start) AS BIGINT) AS first_pos
+         |FROM mm GROUP BY 1 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val post = tokenized(s, d)
+        .where(size(col("toks")) >= phrase.length)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks)), " +
+            "i -> struct(i AS pos, element_at(toks, i) AS tok))")).as("pt"))
+        .select(col("doc_id"), col("pt.pos").as("pos"), col("pt.tok").as("tok"))
+      val parts = phrase.zipWithIndex.map { case (w, i) =>
+        post.where(col("tok") === w)
+          .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
+      }
+      parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
+    // Hashed bag-of-words linear classifier scoring — the fastText-style
+    // quality-classifier serving pass of a training-data pipeline (score
+    // every document against a trained model; keep the positives). The
+    // model is the hashing trick's dense weight array: token → bucket =
+    // hash(token) mod B, score = mean of the bucket weights — no vocab
+    // table, model size is B regardless of vocabulary growth. Weights
+    // here are a deterministic integer lattice (stand-in for trained
+    // parameters; the serving shape is what's under test): the array is a
+    // literal in both dialects — the broadcast-the-model form — and the
+    // whole query is map-only, no shuffle but the presentation sort.
+    // All-integer accumulation; the only double is the final exact
+    // int/int division.
+    Q("q_text_clf_score", {
+      val wList = clfWeights.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |h AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    ${hashArrayDuck("toks")} AS th
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1]))
+         |    AS BIGINT) AS w_sum,
+         |  CAST(list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1]))
+         |    AS DOUBLE) / n_tokens AS score,
+         |  list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1])) > 0
+         |    AS keep
+         |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val wArr = clfWeights.mkString("array(", "L, ", "L)")
+      tokenized(s, d)
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr(s"transform(${hashArraySpark("toks")}, " +
+            s"x -> element_at($wArr, cast(x % $ClfB AS int) + 1))").as("ws"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(ws, 0L, (a, x) -> a + x)").as("w_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+          (col("w_sum").cast("double") / col("n_tokens")).as("score"),
+          (col("w_sum") > 0).as("keep"))
+        .orderBy("doc_id")
     },
 
     // Sensitive-pattern scrubbing with an audit count — the PII-masking

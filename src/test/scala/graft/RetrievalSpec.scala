@@ -135,4 +135,48 @@ class RetrievalSpec extends SparkSpec {
     val resorted = rows.sortBy { case (_, id, s) => (-s, id) }
     assert(resorted.toSeq === rows.toSeq)
   }
+
+  test("phrase search: adjacency and order are load-bearing, matches count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-phrase").toString
+    val docs = Seq(
+      (0L, "part filter scan x part filter scan", "en", "s"), // 2 matches
+      (1L, "part filter x scan", "en", "s"), // gap breaks adjacency
+      (2L, "scan filter part", "en", "s"), // order matters
+      (3L, "x y part filter scan", "en", "s"), // 1 match at pos 3
+      (4L, "part filter", "en", "s")) // too short for the phrase
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q_phrase_search")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(0L -> ((2L, 1L)), 3L -> ((1L, 3L))))
+  }
+
+  test("classifier score is the exact mean bucket weight; keep = score > 0") {
+    import graft.functions.TextHash
+    // independent re-derivation: polyHash fold -> bucket -> weight
+    def poly(tok: String): Long =
+      tok.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % TextHash.P)
+    val rows = SparkEntry.queries("q_text_clf_score")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byId.foreach { case (id, (n, wSum, score, keep)) =>
+      val toks = docs(id).trim.split("\\s+").filter(_.nonEmpty)
+      val expect: Long = toks.map(t =>
+        operators.TextOps.clfWeights((poly(t) % 64).toInt)).sum
+      assert(toks.length.toLong === n)
+      assert(expect === wSum, s"doc $id")
+      assert(score === wSum.toDouble / n)
+      assert(keep === (wSum > 0))
+    }
+    // the lattice splits the corpus: both classes must be populated
+    assert(byId.values.exists(_._4) && byId.values.exists(!_._4))
+  }
 }
