@@ -552,6 +552,126 @@ object Similarity {
           when(col("is_dropped").isNotNull, "dropped").otherwise("kept")
             .as("status"))
         .orderBy("vec_id")
+    },
+
+    // HARD-NEGATIVE MINING for contrastive training: for each query
+    // vector, the top-3 most-similar candidates with a DIFFERENT label —
+    // the "closest wrong answers" that make the strongest negatives for
+    // embedding-model training (easy random negatives carry no gradient).
+    // Same broadcast-the-queries / integer-cosine shape as
+    // q_ann_quantized, plus the label-disequality predicate fused into
+    // the join condition so rejected candidates never leave the probe
+    // task. At 100 TB the exhaustive candidate side becomes the IVF/LSH
+    // bucket stream; the scoring and per-query top-k are unchanged.
+    Q("q_hard_negatives",
+      s"""WITH $quantizedDuck,
+         |n8 AS (SELECT q8.vec_id, qv, e2.label,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM q8 JOIN embeddings e2 USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna, label AS ql
+         |  FROM n8 WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, q.ql AS q_label, c.vec_id AS nn_id, c.label,
+         |    list_sum(list_transform(q.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+         |      / (q.qna * c.qn) AS cosine
+         |  FROM q JOIN n8 c ON c.label <> q.ql),
+         |r AS (SELECT q_id, q_label, nn_id, label, cosine,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT q_id, q_label, rnk, nn_id, label, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n8 = quantizedVecs(s, d)
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+      val q = n8.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+          col("qn").as("qna"), col("label").as("ql"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"), col("label"))
+        .join(broadcast(q), col("label") =!= col("ql"))
+        .select(col("q_id"), col("ql").as("q_label"), col("nn_id"), col("label"),
+          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+            (col("qna") * col("qn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "q_label", "rnk", "nn_id", "label", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+
+    // Per-label embedding scatter report — the class-separation audit run
+    // on a labeled embedding corpus before training on it (a label whose
+    // within-class scatter rivals its distance to the nearest other
+    // centroid is noisy or mislabeled). All moments come from
+    // map-side-combinable integer sufficient statistics over the int8
+    // vectors (count, per-dim sums, Σ‖v‖²): within-SS uses the exact
+    // integer identity Σ‖v−c‖² = (n·Σ‖v‖² − Σ_d s_d²)/n — numerator
+    // all-BIGINT like q_ivf_train's distortion — and only the final
+    // divisions are doubles. Centroid pair distances fold double
+    // centroids in fixed dim order (identical IEEE ops both engines).
+    // One groupBy(label) shuffle; the 4×4 centroid cross join is
+    // label-count-bounded, never data-bounded.
+    Q("q_label_scatter", {
+      val dims = 1 to 64
+      val sums = dims.map(i => s"sum(qv[$i]) AS s$i").mkString(",\n    ")
+      val sArr = dims.map(i => s"s$i").mkString("[", ", ", "]")
+      val sqSum = dims.map(i => s"s$i * s$i").mkString(" + ")
+      s"""WITH $quantizedDuck,
+         |v AS (SELECT q8.vec_id, qv, e2.label
+         |  FROM q8 JOIN embeddings e2 USING (vec_id)),
+         |u0 AS (SELECT label, count(*) AS cnt,
+         |    CAST(sum(list_sum(list_transform(qv, x -> x * x))) AS BIGINT) AS ssq,
+         |    $sums
+         |  FROM v GROUP BY label),
+         |u AS (SELECT label, cnt, ssq,
+         |    CAST(cnt * ssq - ($sqSum) AS BIGINT) AS within_num,
+         |    $sArr AS sv
+         |  FROM u0),
+         |p AS (SELECT a.label, b.label AS nn_label,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> (a.sv[i]::DOUBLE / a.cnt - b.sv[i]::DOUBLE / b.cnt)
+         |         * (a.sv[i]::DOUBLE / a.cnt - b.sv[i]::DOUBLE / b.cnt)))
+         |      AS cdist
+         |  FROM u a JOIN u b ON a.label <> b.label),
+         |r AS (SELECT label, nn_label, cdist,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY cdist, nn_label) AS rn
+         |  FROM p)
+         |SELECT u.label, CAST(u.cnt AS BIGINT) AS n_vecs, u.ssq,
+         |  CAST(u.within_num AS DOUBLE) / u.cnt AS within_ss,
+         |  CAST(u.within_num AS DOUBLE) / (u.cnt * u.cnt) AS mean_within,
+         |  r.nn_label, r.cdist AS centroid_dist
+         |FROM u JOIN r ON u.label = r.label AND r.rn = 1
+         |ORDER BY u.label""".stripMargin
+    }) { (s, d) =>
+      val dims = 1 to 64
+      val v = quantizedVecs(s, d)
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+      val aggCols = count(lit(1)).as("cnt") +:
+        sum(ArrayOps.dotLong(col("qv"), col("qv"))).cast("long").as("ssq") +:
+        dims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
+      val u = v.groupBy("label").agg(aggCols.head, aggCols.tail: _*)
+        .select(col("label"), col("cnt"), col("ssq"),
+          (col("cnt") * col("ssq") -
+            expr(dims.map(i => s"s$i * s$i").mkString(" + ")))
+            .cast("long").as("within_num"),
+          expr(dims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+      val cent = u.select(col("label"), col("sv"), col("cnt"))
+        .withColumn("cv", expr("transform(sv, x -> cast(x AS double) / cnt)"))
+      val p = cent.select(col("label"), col("cv"))
+        .join(broadcast(
+          cent.select(col("label").as("nn_label"), col("cv").as("cvb"))),
+          col("label") =!= col("nn_label"))
+        .select(col("label"), col("nn_label"),
+          ArrayOps.sqDistDouble(col("cv"), col("cvb")).as("cdist"))
+      val w = Window.partitionBy("label").orderBy(asc("cdist"), asc("nn_label"))
+      val near = p.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("label", "nn_label", "cdist")
+      u.join(near, Seq("label"))
+        .select(col("label"), col("cnt").cast("long").as("n_vecs"), col("ssq"),
+          (col("within_num").cast("double") / col("cnt")).as("within_ss"),
+          (col("within_num").cast("double") / (col("cnt") * col("cnt")))
+            .as("mean_within"),
+          col("nn_label"), col("cdist").as("centroid_dist"))
+        .orderBy("label")
     }
   )
 }

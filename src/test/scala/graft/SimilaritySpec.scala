@@ -141,4 +141,59 @@ class SimilaritySpec extends SparkSpec {
       assert(got(id) === want, s"vec $id")
     }
   }
+
+  test("hard negatives: labels differ from the query's, ranks contiguous, " +
+    "and the best hard negative never beats the best overall neighbor") {
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qId, qLab, _, nnId, lab, _) =>
+      assert(lab !== qLab, s"query $qId got a same-label negative $nnId")
+    }
+    rows.groupBy(_._1).foreach { case (qId, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length), s"query $qId")
+    }
+    // hard-negative candidates are a subset of all candidates, so the
+    // top hard cosine is bounded by the top unrestricted cosine
+    val bestAll = SparkEntry.queries("q_ann_quantized")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .collect { case (q, 1, c) => q -> c }.toMap
+    rows.collect { case (q, _, 1, _, _, c) => q -> c }.foreach {
+      case (q, hard) => assert(hard <= bestAll(q) + 1e-12, s"query $q")
+    }
+  }
+
+  test("label scatter matches a driver-side referee on every moment") {
+    val got = SparkEntry.queries("q_label_scatter")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5), r.getDouble(6))).toMap
+    val vecs = operators.Similarity.quantizedVecs(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select("vec_id", "label"),
+        Seq("vec_id"))
+      .select("label", "qv").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val byLab = vecs.groupBy(_._1)
+    assert(got.keySet === byLab.keySet)
+    byLab.foreach { case (lab, vs) =>
+      val n = vs.length.toLong
+      val ssq = vs.map(_._2.map(x => x * x).sum).sum
+      val sums = (0 until 64).map(d => vs.map(_._2(d)).sum)
+      val withinNum = n * ssq - sums.map(s => s * s).sum
+      val (gn, gssq, gwithin, gmean, gnn, gdist) = got(lab)
+      assert(gn === n, s"label $lab")
+      assert(gssq === ssq, s"label $lab")
+      assert(math.abs(gwithin - withinNum.toDouble / n) < 1e-6 * withinNum)
+      assert(math.abs(gmean - withinNum.toDouble / (n * n)) < 1e-6)
+      // nearest other centroid: recompute pairwise distances exactly
+      val cents = byLab.map { case (l, lvs) =>
+        l -> (0 until 64).map(d => lvs.map(_._2(d)).sum.toDouble / lvs.length)
+      }
+      val (bestLab, bestDist) = cents.collect { case (l, c) if l != lab =>
+        l -> c.zip(cents(lab)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.minBy { case (l, dd) => (dd, l) }
+      assert(gnn === bestLab, s"label $lab")
+      assert(math.abs(gdist - bestDist) < 1e-9 * math.max(1.0, bestDist))
+    }
+  }
 }
