@@ -321,6 +321,43 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // KEEP-BEST SURVIVOR SELECTION: the cluster-resolution policy that
+    // keeps the highest-QUALITY member (longest text here; any scalar
+    // quality score slots in) instead of q_dedup_cluster's min-id
+    // canonical — the policy a production dedup actually ships, since
+    // near-dup groups usually contain one full document plus truncated or
+    // boilerplate-wrapped copies. Tie → min doc_id keeps the choice
+    // deterministic. One extra window over the converged labels (keyed on
+    // cluster_id, the same shuffle key the labels already carry); emits
+    // the non-survivor → survivor mapping a downstream rewrite joins on.
+    Q("q_dedup_survivor",
+      s"""WITH RECURSIVE $ngramPairsDuck,
+         |$ccDuck,
+         |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+         |  FROM cc JOIN documents d USING (doc_id)),
+         |s AS (SELECT cluster_id, doc_id AS survivor_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM m) t
+         |  WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, m.n_chars, s.survivor_id,
+         |  m.doc_id = s.survivor_id AS is_survivor
+         |FROM m JOIN s USING (cluster_id) ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val labels = clusterLabels(s, d)
+        .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      val m = labels.join(
+        Tables.documents(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      m.withColumn("survivor_id", first("doc_id").over(w))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     // Pair-similarity histogram: near-dup pairs per 0.05 jaccard band —
     // the threshold-tuning curve (where does the pair mass sit relative
     // to the 0.5 cut; a spike just above threshold means the cut is

@@ -242,4 +242,22 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked === truth)
   }
+
+  test("keep-best survivor: longest member wins, ties to min id, one per cluster") {
+    val rows = SparkEntry.queries("q_dedup_survivor")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // same membership universe as the min-id cluster query
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === clusters)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val survivors = members.filter(_._5)
+      assert(survivors.length === 1, s"cluster $cid")
+      val best = members.minBy { case (id, _, nc, _, _) => (-nc, id) }
+      assert(survivors.head._1 === best._1, s"cluster $cid")
+      assert(members.forall(_._4 === best._1), s"cluster $cid")
+    }
+  }
 }
