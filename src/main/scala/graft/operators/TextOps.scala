@@ -194,6 +194,48 @@ object TextOps {
     */
   val LmTopK: Int = 500
 
+  /** Full-model bigram LM scores (doc_id, n_bigrams, avg_logp) — the
+    * q_text_lm_score result frame, factored out so the curriculum
+    * bucketing composes the same plan (same broadcast-model shape, same
+    * ordered-fold float discipline).
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    val b = bigrams(s, d)
+    val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = b.agg(countDistinct("w1").as("vocab"))
+    b.join(broadcast(c), Seq("w1", "w2"))
+      .join(broadcast(u), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        expr("ln((n2 + 1.0) / (n1 + vocab))").as("logp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
+        .as("plps"))
+      .select(col("doc_id"),
+        size(col("plps")).cast("long").as("n_bigrams"),
+        expr("round(aggregate(plps, cast(0 AS double), (a, x) -> a + x.logp) / size(plps), 6)")
+          .as("avg_logp"))
+  }
+
+  /** DuckDB CTE chain (continues [[bigramsDuck]]) ending in
+    * `lm(doc_id, n_bigrams, avg_logp)` — oracle twin of [[lmScores]].
+    */
+  private val lmScoresDuck: String =
+    """c AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+      |u AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
+      |sc AS (SELECT b.doc_id, b.pos,
+      |    ln((c.n2 + 1.0) / (u.n1 + v.vocab)) AS logp
+      |  FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+      |         JOIN u ON b.w1 = u.w1, v),
+      |lmagg AS (SELECT doc_id,
+      |    list(logp ORDER BY pos) AS lps
+      |  FROM sc GROUP BY doc_id),
+      |lm AS (SELECT doc_id, len(lps) AS n_bigrams,
+      |    round(list_sum(lps) / len(lps), 6) AS avg_logp
+      |  FROM lmagg)""".stripMargin
+
   private def bm25TermScore(t: String): String =
     s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
       s"ln((nd - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
@@ -291,43 +333,59 @@ object TextOps {
     // scoring join re-uses that key; the per-doc regroup collects a list
     // bounded by the doc's own length. At 100 TB the model side would be
     // the top-K bigrams broadcast + a default-smoothing miss path.
+    // The MODEL side is vocab-bounded (n2: |V|², n1: |V|) while the probe
+    // side is the full bigram stream — [[lmScores]] broadcasts the model
+    // so the stream is never shuffled on token keys (its only shuffle is
+    // the per-doc regroup); same broadcast-the-model shape as the 100 TB
+    // top-K variant.
     Q("q_text_lm_score",
       s"""WITH $bigramsDuck,
-         |c AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
-         |u AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w1) AS vocab FROM b),
-         |sc AS (SELECT b.doc_id, b.pos,
-         |    ln((c.n2 + 1.0) / (u.n1 + v.vocab)) AS logp
-         |  FROM b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
-         |         JOIN u ON b.w1 = u.w1, v),
-         |agg AS (SELECT doc_id,
-         |    list(logp ORDER BY pos) AS lps
-         |  FROM sc GROUP BY doc_id)
-         |SELECT doc_id, len(lps) AS n_bigrams,
-         |  round(list_sum(lps) / len(lps), 6) AS avg_logp
-         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val b = bigrams(s, d)
-      val c = b.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val u = b.groupBy("w1").agg(count(lit(1)).as("n1"))
-      val v = b.agg(countDistinct("w1").as("vocab"))
-      // the MODEL side is vocab-bounded (n2: |V|², n1: |V|) while the
-      // probe side is the full bigram stream — broadcast the model so the
-      // stream is never shuffled on token keys (its only shuffle is the
-      // per-doc regroup); this is the same broadcast-the-model shape the
-      // 100 TB top-K variant uses
-      b.join(broadcast(c), Seq("w1", "w2"))
-        .join(broadcast(u), Seq("w1"))
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), col("pos"),
-          expr("ln((n2 + 1.0) / (n1 + vocab))").as("logp"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("logp"))))
-          .as("plps"))
-        .select(col("doc_id"),
-          size(col("plps")).cast("long").as("n_bigrams"),
-          expr("round(aggregate(plps, cast(0 AS double), (a, x) -> a + x.logp) / size(plps), 6)")
-            .as("avg_logp"))
-        .orderBy("doc_id")
+         |$lmScoresDuck
+         |SELECT doc_id, n_bigrams, avg_logp
+         |FROM lm ORDER BY doc_id""".stripMargin) { (s, d) =>
+      lmScores(s, d).orderBy("doc_id")
+    },
+
+    // CURRICULUM BUCKETING: order documents by LM difficulty (the
+    // easiest-first curriculum-learning schedule) and report the 5
+    // difficulty tiers a data loader would stage — per tier: doc count,
+    // token mass, and the score envelope. The ntile runs over
+    // (avg_logp DESC, doc_id) — avg_logp is already round(·, 6) so the
+    // ordering (and thus the tier cut) is cross-engine deterministic.
+    // The global sort is presentation-tier at this row count (one row per
+    // DOC, not per token); the 100 TB form range-partitions by score and
+    // takes per-partition offsets from a driver prefix over partition
+    // counts — exactly the distributed-prefix-sum shape q_budget_select
+    // already pins.
+    Q("q_curriculum",
+      s"""WITH $bigramsDuck,
+         |$lmScoresDuck,
+         |tiers AS (SELECT doc_id, n_bigrams, avg_logp,
+         |    ntile(5) OVER (ORDER BY avg_logp DESC, doc_id) AS tier
+         |  FROM lm),
+         |agg AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+         |    max(avg_logp) AS easiest, min(avg_logp) AS hardest,
+         |    list(avg_logp ORDER BY doc_id) AS lps
+         |  FROM tiers GROUP BY tier)
+         |SELECT tier, n_docs, total_bigrams, easiest, hardest,
+         |  round(list_sum(lps) / len(lps), 6) AS mean_logp
+         |FROM agg ORDER BY tier""".stripMargin) { (s, d) =>
+      val tiers = lmScores(s, d)
+        .withColumn("tier", ntile(5).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("avg_logp"), asc("doc_id"))))
+      tiers.groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").cast("long").as("total_bigrams"),
+          max("avg_logp").as("easiest"), min("avg_logp").as("hardest"),
+          sort_array(collect_list(struct(col("doc_id"), col("avg_logp"))))
+            .as("lps"))
+        .select(col("tier"), col("n_docs"), col("total_bigrams"),
+          col("easiest"), col("hardest"),
+          expr("round(aggregate(lps, cast(0 AS double), (a, x) -> a + x.avg_logp) / size(lps), 6)")
+            .as("mean_logp"))
+        .orderBy("tier")
     },
 
     // The 100 TB form the full-model query's comment promises: model

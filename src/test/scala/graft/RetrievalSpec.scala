@@ -136,6 +136,23 @@ class RetrievalSpec extends SparkSpec {
     assert(resorted.toSeq === rows.toSeq)
   }
 
+  test("curriculum tiers: monotone difficulty envelopes, counts cover corpus") {
+    val tiers = SparkEntry.queries("q_curriculum")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(tiers.map(_._1).toSeq === (1 to 5))
+    val scored = SparkEntry.queries("q_text_lm_score")(spark, sfDir).count()
+    assert(tiers.map(_._2).sum === scored)
+    tiers.foreach { case (t, _, _, easiest, hardest, mean) =>
+      assert(easiest >= hardest, s"tier $t")
+      assert(mean <= easiest + 1e-9 && mean >= hardest - 1e-9, s"tier $t")
+    }
+    // tier k's hardest doc is still no harder than tier k+1's easiest
+    tiers.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 >= b._4, s"tiers ${a._1}->${b._1} overlap the wrong way")
+    }
+  }
+
   test("phrase search: adjacency and order are load-bearing, matches count") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, length}
