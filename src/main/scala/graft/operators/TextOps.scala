@@ -53,6 +53,39 @@ object TextOps {
   private[graft] val clfWeights: Seq[Long] =
     (0 until ClfB).map(b => ((b * 2654435761L) % 2001L) - 1000L)
 
+  /** Per-doc hashed-classifier sufficient stats
+    * (doc_id, source, n_tokens, w_sum) — shared by the score query and
+    * the per-source cap. Map-only; the weight array rides along as a
+    * literal (the broadcast-the-model form).
+    */
+  private def clfScored(s: SparkSession, d: String): DataFrame = {
+    val wArr = clfWeights.mkString("array(", "L, ", "L)")
+    tokenized(s, d)
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"transform(${hashArraySpark("toks")}, " +
+          s"x -> element_at($wArr, cast(x % $ClfB AS int) + 1))").as("ws"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("aggregate(ws, 0L, (a, x) -> a + x)").as("w_sum"))
+  }
+
+  /** DuckDB CTE chain ending in `cs(doc_id, source, n_tokens, w_sum)` —
+    * oracle twin of [[clfScored]].
+    */
+  private val clfDuck: String = {
+    val wList = clfWeights.mkString("[", ", ", "]")
+    s"""ct AS (SELECT doc_id, source, ${tokensDuck("text")} AS toks
+       |  FROM documents),
+       |ch AS (SELECT doc_id, source, len(toks) AS n_tokens,
+       |    ${hashArrayDuck("toks")} AS th
+       |  FROM ct WHERE len(toks) > 0),
+       |cs AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1]))
+       |      AS BIGINT) AS w_sum
+       |  FROM ch)""".stripMargin
+  }
+
   /** One term's BM25 contribution (k1 = 1.2, b = 0.75) over columns
     * (tf_<t>, dl, avgdl, nd, df_<t>) — ONE string `expr()`-ed on the Spark
     * side and spliced into the oracle, so both dialects evaluate the
@@ -957,34 +990,44 @@ object TextOps {
     // whole query is map-only, no shuffle but the presentation sort.
     // All-integer accumulation; the only double is the final exact
     // int/int division.
-    Q("q_text_clf_score", {
-      val wList = clfWeights.mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
-         |h AS (SELECT doc_id, len(toks) AS n_tokens,
-         |    ${hashArrayDuck("toks")} AS th
-         |  FROM t WHERE len(toks) > 0)
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1]))
-         |    AS BIGINT) AS w_sum,
-         |  CAST(list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1]))
-         |    AS DOUBLE) / n_tokens AS score,
-         |  list_sum(list_transform(th, x -> ($wList)[(x % $ClfB) + 1])) > 0
-         |    AS keep
-         |FROM h ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val wArr = clfWeights.mkString("array(", "L, ", "L)")
-      tokenized(s, d)
-        .where(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          expr(s"transform(${hashArraySpark("toks")}, " +
-            s"x -> element_at($wArr, cast(x % $ClfB AS int) + 1))").as("ws"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("aggregate(ws, 0L, (a, x) -> a + x)").as("w_sum"))
+    Q("q_text_clf_score",
+      s"""WITH $clfDuck
+         |SELECT doc_id, n_tokens, w_sum,
+         |  CAST(w_sum AS DOUBLE) / n_tokens AS score,
+         |  w_sum > 0 AS keep
+         |FROM cs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clfScored(s, d)
         .select(col("doc_id"), col("n_tokens"), col("w_sum"),
           (col("w_sum").cast("double") / col("n_tokens")).as("score"),
           (col("w_sum") > 0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // PER-SOURCE QUALITY CAP — the per-domain rate limit a web-scale
+    // pipeline applies so no single source floods the mix (RefinedWeb
+    // keeps a bounded take per domain): rank each source's documents by
+    // classifier score (tie → doc_id) and keep the top 10. The rank
+    // window partitions on source — the same key the mixture/sampling
+    // operators shuffle on — and the cap is applied in the window pass,
+    // so no source's full document list is ever collected. Survivors
+    // carry their rank for downstream mixture weighting.
+    Q("q_source_cap",
+      s"""WITH $clfDuck,
+         |r AS (SELECT source, doc_id, n_tokens,
+         |    CAST(w_sum AS DOUBLE) / n_tokens AS score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(w_sum AS DOUBLE) / n_tokens DESC, doc_id) AS rnk
+         |  FROM cs)
+         |SELECT source, rnk, doc_id, n_tokens, score
+         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val scored = clfScored(s, d)
+        .withColumn("score", col("w_sum").cast("double") / col("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select("source", "rnk", "doc_id", "n_tokens", "score")
+        .orderBy("source", "rnk")
     },
 
     // Sensitive-pattern scrubbing with an audit count — the PII-masking

@@ -196,4 +196,24 @@ class RetrievalSpec extends SparkSpec {
     // the lattice splits the corpus: both classes must be populated
     assert(byId.values.exists(_._4) && byId.values.exists(!_._4))
   }
+
+  test("source cap keeps at most 10 per source, ranked by score then id") {
+    val rows = SparkEntry.queries("q_source_cap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val scores = SparkEntry.queries("q_text_clf_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (src, kept) =>
+      assert(kept.length <= 10, src)
+      assert(kept.map(_._2).sorted.toSeq === (1 to kept.length), src)
+      // the kept set IS the source's top-|kept| by (score desc, doc_id)
+      val expect = scores.collect { case (id, sc) if srcOf(id) == src => (id, sc) }
+      val top = expect.sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+      assert(kept.map(_._3).toSet === top, src)
+    }
+  }
+
+  private lazy val srcOf: Map[Long, String] =
+    Tables.documents(spark, TestSession.sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 }
