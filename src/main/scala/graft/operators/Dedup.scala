@@ -557,6 +557,88 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // MINHASH CALIBRATION: for every LSH candidate pair, the signature's
+    // Jaccard ESTIMATE (matching components / 16) against the exact
+    // shingle-set Jaccard — the report that answers "how many components
+    // and bands does this corpus need" before committing to a signature
+    // size (estimator variance ~ J(1−J)/k, so a fat error column at the
+    // threshold means k is too small). Candidate generation is the
+    // banded equi-join (ids only through the pair shuffle); signatures
+    // and shingle sets join back per side. No threshold filter — the
+    // calibration needs the below-cut candidates too.
+    Q("q_minhash_calibration", {
+      val mh = minhashExprs.map { case (j, _, duck) => f"$duck AS mh$j%02d" }
+        .mkString(",\n    ")
+      val bands = (0 until 4).map { g =>
+        val ks = (4 * g until 4 * g + 4).map(j => f"mh$j%02d").mkString(", ")
+        s"concat_ws(',', $ks) AS bk$g"
+      }.mkString(",\n    ")
+      val mhArr = (0 until 16).map(j => f"mh$j%02d").mkString("[", ", ", "]")
+      val orJoin = (0 until 4).map(g => s"a.bk$g = b.bk$g").mkString(" OR ")
+      s"""WITH $shingledDuck,
+         |m AS (SELECT doc_id, hs,
+         |    $mh
+         |  FROM h WHERE len(hs) > 0),
+         |sig AS (SELECT doc_id, hs, $mhArr AS mharr,
+         |    $bands
+         |  FROM m),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($orJoin)),
+         |sc AS (SELECT c.a_id, c.b_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> CASE WHEN x.mharr[i] = y.mharr[i] THEN 1 ELSE 0 END))
+         |      AS BIGINT) AS n_eq,
+         |    len(list_intersect(x.hs, y.hs)) AS i,
+         |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
+         |  FROM cand c JOIN sig x ON c.a_id = x.doc_id
+         |              JOIN sig y ON c.b_id = y.doc_id)
+         |SELECT a_id, b_id, n_eq, n_eq / 16.0 AS est_jaccard,
+         |  i::DOUBLE / u AS jaccard,
+         |  abs(n_eq / 16.0 - i::DOUBLE / u) AS abs_err
+         |FROM sc WHERE u > 0
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val base = shingled(s, d).where(size(col("hs")) > 0)
+      val sig = base.select(
+        col("doc_id") +: col("hs") +:
+          minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+        .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
+      val withBands = sig.withColumn("bands", array(
+        (0 until 4).map { g =>
+          struct(lit(g).as("g"),
+            concat_ws(",",
+              (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
+        }: _*))
+      val exploded = withBands
+        .select(col("doc_id"), explode(col("bands")).as("band"))
+        .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
+        .repartition(col("g"), col("k"))
+      val cand = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
+        .join(exploded.select(col("doc_id").as("b_id"), col("g"), col("k")),
+          Seq("g", "k"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      val side = sig.select(col("doc_id"), col("hs"), col("mharr"))
+      val i = size(array_intersect(col("a_hs"), col("b_hs")))
+      val u = size(col("a_hs")) + size(col("b_hs")) - i
+      cand
+        .join(side.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+          col("mharr").as("a_mh")), Seq("a_id"))
+        .join(side.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+          col("mharr").as("b_mh")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> " +
+            "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)")
+            .as("n_eq"),
+          (i.cast("double") / u).as("jaccard"), u.as("u"))
+        .where(col("u") > 0)
+        .select(col("a_id"), col("b_id"), col("n_eq"),
+          (col("n_eq") / lit(16.0)).as("est_jaccard"), col("jaccard"),
+          abs(col("n_eq") / lit(16.0) - col("jaccard")).as("abs_err"))
+        .orderBy("a_id", "b_id")
+    },
+
     // INCREMENTAL dedup: drop each NEW document (odd doc_id as the batch
     // stand-in) that is an exact copy OR a banded-MinHash collision of a
     // SEEN document (even doc_id = the existing corpus). This is the
