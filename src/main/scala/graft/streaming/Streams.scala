@@ -148,6 +148,29 @@ object Streams {
       .drop("__seen")
   }
 
+  /** Stateless streaming quality filter — the hashed-classifier serving
+    * path applied at ingest: score each arriving document MAP-SIDE (the
+    * weight array is a literal, the broadcast-the-model form; no state,
+    * no shuffle, no watermark needed) and keep positives, so rejected
+    * documents never reach the sink. Batch twin: q_text_clf_score's
+    * `keep` column — same weights, same hash, same threshold, and the
+    * StreamsSpec parity test pins the kept set against it.
+    */
+  def clfFilterStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHash._
+    val wArr = graft.operators.TextOps.clfWeights.mkString("array(", "L, ", "L)")
+    val keep = docs.columns.map(col)
+    docs
+      .withColumn("__toks", expr(tokensSpark("text")))
+      .where(size(col("__toks")) > 0)
+      .withColumn("w_sum",
+        expr(s"aggregate(transform(${hashArraySpark("__toks")}, " +
+          s"x -> element_at($wArr, cast(x % 64 AS int) + 1)), " +
+          "0L, (a, x) -> a + x)"))
+      .where(col("w_sum") > 0)
+      .select(keep :+ col("w_sum"): _*)
+  }
+
   /** Input/output rows for [[personalRecordStream]]. `event_id` is part of
     * the contract, not decoration: the batch twin (q_record_events) breaks
     * same-timestamp ties on (ts, event_id), and without the id the stream

@@ -145,6 +145,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classifier filter keeps exactly the batch query's keep set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch truth over the real sf0.001 corpus
+    val batchKeep = SparkEntry.queries("q_text_clf_score")(spark, sfDir)
+      .where(col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.clfFilterStream(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clfstream")
+      .outputMode("append").start()
+    try {
+      val (h, t) = docs.splitAt(docs.length / 2)
+      mem.addData(h.toSeq); q.processAllAvailable() // two micro-batches:
+      mem.addData(t.toSeq); q.processAllAvailable() // stateless ⇒ no carry
+      val got = spark.sql("SELECT doc_id, w_sum FROM clfstream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === batchKeep)
+    } finally q.stop()
+  }
+
   test("personal-record stream: custom state survives micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
