@@ -542,6 +542,38 @@ final class Graft(val spark: SparkSession, root: String) {
     def temperatureMixture(corpusDir: String): DataFrame =
       SparkEntryQueries("q_mixture_temperature", corpusDir)
 
+    /** Exact-phrase matches via the positional postings join. */
+    def phraseSearch(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_phrase_search", corpusDir)
+
+    /** Hashed linear classifier scores (fastText-style serving pass). */
+    def classifierScores(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_text_clf_score", corpusDir)
+
+    /** Per-source rate cap: top-10 docs per source by classifier score. */
+    def sourceCap(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_source_cap", corpusDir)
+
+    /** Contrastive hard negatives: nearest different-label vectors. */
+    def hardNegatives(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_hard_negatives", corpusDir)
+
+    /** Per-label scatter / class-separation audit over the embeddings. */
+    def labelScatter(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_label_scatter", corpusDir)
+
+    /** Keep-best (longest-member) survivor per near-dup cluster. */
+    def dedupSurvivors(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_dedup_survivor", corpusDir)
+
+    /** Easiest-first curriculum tiers over the LM difficulty scores. */
+    def curriculumTiers(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_curriculum", corpusDir)
+
+    /** MinHash-estimate vs exact Jaccard per LSH candidate pair. */
+    def minhashCalibration(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_minhash_calibration", corpusDir)
+
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)
   }

@@ -211,6 +211,25 @@ class ApiSpec extends SparkSpec {
     assert(g.pipeline.mixtureSample(sfDir).count() === 50) // 25+15+10
   }
 
+  test("pipeline facade: round-5 additions route to their registered queries") {
+    val g = new graft.api.Graft(spark, sfDir)
+    // each facade method must return the same frame its query registers
+    val pairs = Seq(
+      g.pipeline.classifierScores(sfDir) -> "q_text_clf_score",
+      g.pipeline.sourceCap(sfDir) -> "q_source_cap",
+      g.pipeline.hardNegatives(sfDir) -> "q_hard_negatives",
+      g.pipeline.labelScatter(sfDir) -> "q_label_scatter",
+      g.pipeline.dedupSurvivors(sfDir) -> "q_dedup_survivor",
+      g.pipeline.curriculumTiers(sfDir) -> "q_curriculum",
+      g.pipeline.minhashCalibration(sfDir) -> "q_minhash_calibration",
+      g.pipeline.phraseSearch(sfDir) -> "q_phrase_search")
+    pairs.foreach { case (df, name) =>
+      val direct = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.columns.toSeq === direct.columns.toSeq, name)
+      assert(df.count() === direct.count(), name)
+    }
+  }
+
   test("find similar workouts: band, score, interpretation") {
     val rows = g.comparisons.findSimilarWorkouts(10L, paceTolerance = 0.05,
       distanceTolerance = 0.05).collect()
