@@ -1030,6 +1030,50 @@ object TextOps {
         .orderBy("source", "rnk")
     },
 
+    // TOKEN-WINDOW CHUNKING with stride — the RAG/embedding-prep splitter
+    // (32-token chunks, stride 24 ⇒ 8-token overlap so no boundary
+    // sentence is ever lost). Tail rule: a sub-8-token trailing chunk is
+    // dropped unless it is the document's only chunk. Each chunk carries
+    // a rolling hash COMBINED ARITHMETICALLY from the precomputed token
+    // hashes (the shingle-hash trick — token strings are hashed once per
+    // doc, never once per chunk), which downstream chunk-level dedup
+    // joins on. Map-only: the explode multiplies rows ~n/24× but nothing
+    // shuffles until a consumer asks; chunk payloads stay as (start, len)
+    // offsets into the doc, not copied text.
+    Q("q_doc_chunks",
+      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+         |h AS (SELECT doc_id, len(toks) AS n, ${hashArrayDuck("toks")} AS th
+         |  FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, n, th,
+         |    unnest(list_filter(generate_series(1, n, 24),
+         |      s -> s = 1 OR n - s + 1 >= 8)) AS start
+         |  FROM h)
+         |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(least(32, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+         |  CAST(list_reduce(list_slice(th, start, least(start + 31, n)),
+         |    (a, x) -> (a * 8191 + x) % ${graft.functions.TextHash.P})
+         |    AS BIGINT) AS chunk_hash
+         |FROM st ORDER BY doc_id, start""".stripMargin) { (s, d) =>
+      val P = graft.functions.TextHash.P
+      tokenized(s, d)
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          expr(hashArraySpark("toks")).as("th"))
+        .select(col("doc_id"), col("n"), col("th"),
+          explode(expr(
+            "filter(sequence(1, n, 24), s -> s = 1 OR n - s + 1 >= 8)"))
+            .as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 24).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          least(lit(32), col("n") - col("start") + 1).cast("long")
+            .as("n_chunk_tokens"),
+          expr(s"aggregate(slice(th, start, 32), 0L, " +
+            s"(a, x) -> (a * 8191 + x) % $P)").as("chunk_hash"))
+        .orderBy("doc_id", "start")
+    },
+
     // Sensitive-pattern scrubbing with an audit count — the PII-masking
     // shape (regex replace + how-many-were-masked) over the one column of
     // this corpus that carries digit payloads (events.props). Map-only:

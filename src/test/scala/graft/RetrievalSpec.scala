@@ -197,6 +197,36 @@ class RetrievalSpec extends SparkSpec {
     assert(byId.values.exists(_._4) && byId.values.exists(!_._4))
   }
 
+  test("token chunking: stride/overlap cover every token, tail rule holds") {
+    val chunks = SparkEntry.queries("q_doc_chunks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(chunks.nonEmpty)
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"size(${graft.functions.TextHash.tokensSpark("text")})"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nToks(id)
+      val sorted = cs.sortBy(_._3)
+      // first chunk anchors at 1; starts advance by the 24-token stride
+      assert(sorted.head._3 === 1L, s"doc $id")
+      sorted.foreach { case (_, idx, start, len, _) =>
+        assert(start === 1L + 24L * idx, s"doc $id")
+        assert(len === math.min(32L, n - start + 1L), s"doc $id")
+        assert(len >= 8L || cs.length == 1, s"doc $id tail rule")
+      }
+      // coverage: consecutive chunks overlap (no token gap up to the tail)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._3 + a._4, s"doc $id gap")
+        case _ =>
+      }
+      // every token beyond the last chunk's end was legally dropped (< 8)
+      val lastEnd = sorted.last._3 + sorted.last._4 - 1
+      assert(n - lastEnd < 8, s"doc $id dropped a full-size tail")
+    }
+  }
+
   test("source cap keeps at most 10 per source, ranked by score then id") {
     val rows = SparkEntry.queries("q_source_cap")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
