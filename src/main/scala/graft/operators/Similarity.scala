@@ -554,6 +554,75 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // HYBRID RETRIEVAL FUSION (reciprocal-rank fusion, k = 60): the
+    // union-of-rankers shape every modern retrieval/curation stack runs —
+    // a lexical ranking (the shared BM25 scorer, query doc excluded) and
+    // a dense ranking (cosine against document 0's embedding; the
+    // synthetic corpus pairs vec_id with doc_id) each contribute
+    // 1/(60 + rank) for their top-50, and documents surface on the fused
+    // score even when only one ranker saw them (full outer join +
+    // coalesce). RRF needs no score normalization across rankers — ranks
+    // are scale-free — which is exactly why it survives at 100 TB where
+    // score distributions drift per shard; both ranker top-50s are
+    // TakeOrdered results, so the fusion join touches 100 rows max.
+    Q("q_hybrid_rank", {
+      val rrf = "coalesce(CAST(1.0 AS DOUBLE) / (60 + br), CAST(0.0 AS DOUBLE)) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + dr), CAST(0.0 AS DOUBLE))"
+      s"""WITH ${TextOps.bm25ScoresDuck},
+         |$duckVecs,
+         |br AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS br
+         |  FROM (SELECT doc_id, score FROM bsc WHERE doc_id <> 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) bx),
+         |dq AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+         |dsc AS (SELECT n.vec_id AS doc_id,
+         |    list_sum(list_transform(dq.v, (x,i) -> x * n.v[i]))
+         |      / (dq.nrm * n.nrm) AS cosine
+         |  FROM n, dq WHERE n.vec_id <> 0),
+         |dr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS dr
+         |  FROM (SELECT doc_id, cosine FROM dsc
+         |        ORDER BY cosine DESC, doc_id LIMIT 50) dx),
+         |f AS (SELECT coalesce(br.doc_id, dr.doc_id) AS doc_id,
+         |    br.br AS br, dr.dr AS dr
+         |  FROM br FULL OUTER JOIN dr ON br.doc_id = dr.doc_id),
+         |top AS (SELECT doc_id, br, dr, $rrf AS rrf FROM f
+         |  ORDER BY rrf DESC, doc_id LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk,
+         |  doc_id, CAST(br AS BIGINT) AS bm25_rank,
+         |  CAST(dr AS BIGINT) AS dense_rank, rrf
+         |FROM top ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+      val rrf = "coalesce(CAST(1.0 AS DOUBLE) / (60 + br), CAST(0.0 AS DOUBLE)) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + dr), CAST(0.0 AS DOUBLE))"
+      val wB = Window.orderBy(desc("score"), asc("doc_id"))
+      val br = TextOps.bm25Scores(s, d)
+        .where(col("doc_id") =!= 0)
+        .orderBy(desc("score"), asc("doc_id")).limit(50)
+        .withColumn("br", row_number().over(wB))
+        .select("doc_id", "br")
+      val vs = vecs(s, d)
+      val q0 = vs.where(col("vec_id") === 0)
+        .select(col("v").as("qv0"), col("nrm").as("qn0"))
+      val dsc = vs.where(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          try_divide(ArrayOps.dotDouble(col("qv0"), col("v")),
+            col("qn0") * col("nrm")).as("cosine"))
+      val wD = Window.orderBy(desc("cosine"), asc("doc_id"))
+      val dr = dsc.orderBy(desc("cosine"), asc("doc_id")).limit(50)
+        .withColumn("dr", row_number().over(wD))
+        .select("doc_id", "dr")
+      val wF = Window.orderBy(desc("rrf"), asc("doc_id"))
+      br.join(dr, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", expr(rrf))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(wF))
+        .select(col("rnk"), col("doc_id"),
+          col("br").cast("long").as("bm25_rank"),
+          col("dr").cast("long").as("dense_rank"), col("rrf"))
+        .orderBy("rnk")
+    },
+
     // HARD-NEGATIVE MINING for contrastive training: for each query
     // vector, the top-3 most-similar candidates with a DIFFERENT label —
     // the "closest wrong answers" that make the strongest negatives for

@@ -275,6 +275,45 @@ object TextOps {
       s"(tf_$t * 2.2) / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) END)"
   private val bm25ScoreSql = bm25Terms.map(bm25TermScore).mkString(" + ")
 
+  /** Positive BM25 scores (doc_id, score) for the fixed term query —
+    * shared by the rank query and the hybrid-fusion query.
+    */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .withColumn("toks", expr(tokensSpark("text")))
+      .repartition(col("doc_id"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        bm25Terms.map(t =>
+          expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$t")): _*)
+    val aggCols = avg(col("dl")).as("avgdl") +: count(lit(1)).as("nd") +:
+      bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val g = f.agg(aggCols.head, aggCols.tail: _*)
+    f.crossJoin(broadcast(g))
+      .withColumn("score", expr(s"round($bm25ScoreSql, 6)"))
+      .where(col("score") > 0)
+      .select("doc_id", "score")
+  }
+
+  /** DuckDB CTE chain ending in `bsc(doc_id, score)` — oracle twin of
+    * [[bm25Scores]].
+    */
+  private[operators] val bm25ScoresDuck: String = {
+    val tfDuck = bm25Terms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+    val dfDuck = bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    s"""bt AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
+       |bf AS (SELECT doc_id, len(toks) AS dl,
+       |    $tfDuck
+       |  FROM bt),
+       |bg AS (SELECT avg(dl) AS avgdl, count(*) AS nd,
+       |    $dfDuck
+       |  FROM bf),
+       |bsc AS (SELECT bf.doc_id, round($bm25ScoreSql, 6) AS score
+       |  FROM bf, bg WHERE round($bm25ScoreSql, 6) > 0)""".stripMargin
+  }
+
   val entries: Seq[Q] = Seq(
 
     // BM25 ranking for a fixed term query — the retrieval scorer a
@@ -286,41 +325,15 @@ object TextOps {
     // TakeOrdered — so the whole query is one pass over the corpus plus a
     // k-row presentation sort. At 100 TB this is the scan-side scorer; an
     // inverted index only pays off once the term set is user-dynamic.
-    Q("q_bm25_rank", {
-      val tfDuck = bm25Terms.map(t =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
-      val dfDuck = bm25Terms.map(t =>
-        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
-      s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
-         |f AS (SELECT doc_id, len(toks) AS dl,
-         |    $tfDuck
-         |  FROM t),
-         |g AS (SELECT avg(dl) AS avgdl, count(*) AS nd,
-         |    $dfDuck
-         |  FROM f),
-         |sc AS (SELECT f.doc_id, round($bm25ScoreSql, 6) AS score
-         |  FROM f, g),
-         |top AS (SELECT doc_id, score FROM sc WHERE score > 0
+    Q("q_bm25_rank",
+      s"""WITH $bm25ScoresDuck,
+         |top AS (SELECT doc_id, score FROM bsc
          |  ORDER BY score DESC, doc_id LIMIT 20)
          |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
          |  doc_id, score
-         |FROM top ORDER BY rnk""".stripMargin
-    }) { (s, d) =>
-      val f = Tables.documents(s, d)
-        .withColumn("toks", expr(tokensSpark("text")))
-        .repartition(col("doc_id"))
-        .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-          bm25Terms.map(t =>
-            expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$t")): _*)
-      val aggCols = avg(col("dl")).as("avgdl") +: count(lit(1)).as("nd") +:
-        bm25Terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val g = f.agg(aggCols.head, aggCols.tail: _*)
-      val top = f.crossJoin(broadcast(g))
-        .withColumn("score", expr(s"round($bm25ScoreSql, 6)"))
-        .where(col("score") > 0)
+         |FROM top ORDER BY rnk""".stripMargin) { (s, d) =>
+      val top = bm25Scores(s, d)
         .orderBy(desc("score"), asc("doc_id"))
-        .select("doc_id", "score")
         .limit(20)
       top.withColumn("rnk",
           row_number().over(org.apache.spark.sql.expressions.Window

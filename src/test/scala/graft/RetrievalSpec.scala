@@ -197,6 +197,28 @@ class RetrievalSpec extends SparkSpec {
     assert(byId.values.exists(_._4) && byId.values.exists(!_._4))
   }
 
+  test("hybrid RRF fusion: ranks reconstruct the score, both rankers count") {
+    val rows = SparkEntry.queries("q_hybrid_rank")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    rows.foreach { case (_, id, br, dr, rrf) =>
+      assert(br.nonEmpty || dr.nonEmpty, s"doc $id in neither ranking")
+      val expect = br.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-12, s"doc $id")
+    }
+    // fused order is non-increasing in rrf
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 >= b._5)
+      case _ =>
+    }
+    // at least one doc must be surfaced by each ranker (fusion is real)
+    assert(rows.exists(_._3.nonEmpty) && rows.exists(_._4.nonEmpty))
+  }
+
   test("token chunking: stride/overlap cover every token, tail rule holds") {
     val chunks = SparkEntry.queries("q_doc_chunks")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
