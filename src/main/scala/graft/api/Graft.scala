@@ -574,6 +574,14 @@ final class Graft(val spark: SparkSession, root: String) {
     def minhashCalibration(corpusDir: String): DataFrame =
       SparkEntryQueries("q_minhash_calibration", corpusDir)
 
+    /** Strided token-window chunks with rolling hashes (RAG prep). */
+    def docChunks(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_doc_chunks", corpusDir)
+
+    /** Reciprocal-rank fusion of the BM25 and dense rankings. */
+    def hybridRank(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_hybrid_rank", corpusDir)
+
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)
   }

@@ -88,6 +88,28 @@ class AnsiRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("degenerate corpora: chunker / classifier / phrase / curriculum / cap") {
+    import java.nio.file.Files
+    // whitespace-only and single-token docs: no full-size chunk, no
+    // bigram, no phrase window — everything degrades to empty or 1 row
+    val d = Files.createTempDirectory("graft-ansi-r5").toString
+    Seq((1L, "", "en", "zz"), (2L, "   ", "en", "zz"), (3L, "one", "en", "zz"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(SparkEntry.queries("q_phrase_search")(spark, d).count() === 0L)
+    assert(SparkEntry.queries("q_curriculum")(spark, d).count() === 0L)
+    // doc 3 has one token: one chunk of length 1, one classifier row
+    val chunks = SparkEntry.queries("q_doc_chunks")(spark, d).collect()
+    assert(chunks.length === 1)
+    assert(chunks.head.getLong(0) === 3L && chunks.head.getLong(3) === 1L)
+    val clf = SparkEntry.queries("q_text_clf_score")(spark, d).collect()
+    assert(clf.map(_.getLong(0)).toSeq === Seq(3L))
+    val cap = SparkEntry.queries("q_source_cap")(spark, d).collect()
+    assert(cap.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("zz", 3L)))
+  }
+
   test("single-source corpus: temperature mixture degenerates to identity") {
     import java.nio.file.Files
     val d = Files.createTempDirectory("graft-ansi-mono").toString

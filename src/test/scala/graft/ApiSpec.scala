@@ -222,7 +222,9 @@ class ApiSpec extends SparkSpec {
       g.pipeline.dedupSurvivors(sfDir) -> "q_dedup_survivor",
       g.pipeline.curriculumTiers(sfDir) -> "q_curriculum",
       g.pipeline.minhashCalibration(sfDir) -> "q_minhash_calibration",
-      g.pipeline.phraseSearch(sfDir) -> "q_phrase_search")
+      g.pipeline.phraseSearch(sfDir) -> "q_phrase_search",
+      g.pipeline.docChunks(sfDir) -> "q_doc_chunks",
+      g.pipeline.hybridRank(sfDir) -> "q_hybrid_rank")
     pairs.foreach { case (df, name) =>
       val direct = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.toSeq === direct.columns.toSeq, name)
