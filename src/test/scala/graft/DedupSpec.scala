@@ -243,6 +243,36 @@ class DedupSpec extends SparkSpec {
     assert(blocked === truth)
   }
 
+  test("minhash calibration: identical sets estimate 1.0, error is bounded") {
+    val rows = SparkEntry.queries("q_minhash_calibration")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nEq, est, jac, err) =>
+      assert(nEq >= 0 && nEq <= 16, s"($a,$b)")
+      assert(est === nEq / 16.0, s"($a,$b)")
+      assert(math.abs(err - math.abs(est - jac)) < 1e-12, s"($a,$b)")
+      // identical shingle sets hash identically under every permutation
+      if (jac == 1.0) assert(nEq === 16L, s"($a,$b) exact dup must estimate 1")
+    }
+    // hand corpus: an exact-dup pair MUST calibrate to est = jac = 1.0
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mhcal").toString
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, txt, "en", "s"), (2L, txt, "en", "s"),
+      (3L, "totally different words here with no shared window", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val dup = SparkEntry.queries("q_minhash_calibration")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(dup((1L, 2L)) === ((16L, 1.0)))
+  }
+
   test("keep-best survivor: longest member wins, ties to min id, one per cluster") {
     val rows = SparkEntry.queries("q_dedup_survivor")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
