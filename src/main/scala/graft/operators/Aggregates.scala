@@ -485,6 +485,138 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // PER-USER FEATURE BLOCK — the feature-store shape of a training
+    // pipeline over an event stream: one row per entity with activity
+    // counts, type breadth, active-day coverage, the time envelope (epoch
+    // seconds, the established nano-parity convention), and value stats.
+    // One user-keyed aggregation, map-side partials, skew bounded by the
+    // busiest user. avg(value) is an unordered double sum — inside the
+    // checker's 1e-6 relative tolerance (q_daily_load precedent), not the
+    // ordered-fold discipline ln-pipelines need.
+    Q("q_user_features",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+        |  epoch_ms(min(ts)) // 1000 AS first_s,
+        |  epoch_ms(max(ts)) // 1000 AS last_s,
+        |  max(value) AS max_value, avg(value) AS mean_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"),
+          countDistinct(col("ts").cast("date")).as("active_days"),
+          unix_timestamp(min(col("ts"))).as("first_s"),
+          unix_timestamp(max(col("ts"))).as("last_s"),
+          max("value").as("max_value"), avg("value").as("mean_value"))
+        .orderBy("user_id")
+    },
+
+    // ORDERED FUNNEL (view → click → purchase): per user, the earliest
+    // view, the earliest click STRICTLY AFTER it, the earliest purchase
+    // after that — the sequence-matters conversion report a plain
+    // count-per-type can't express. Each stage is one user-keyed min
+    // aggregate joined to the previous stage (stage frames shrink
+    // monotonically, so every join's right side is the smaller one).
+    // Cross-engine time parity: all comparisons run on integer EPOCH
+    // MICROS (epoch_ns // 1000 ≙ the Spark reader's nanos div 1000) so
+    // both engines see identical instants; truncation commutes with min.
+    Q("q_event_funnel",
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n FROM ev),
+        |c1 AS (SELECT count(*) AS n FROM s1),
+        |c2 AS (SELECT count(*) AS n FROM s2),
+        |c3 AS (SELECT count(*) AS n FROM s3),
+        |st AS (
+        |  SELECT 1 AS stage, 'view' AS event_type, c1.n AS n_users,
+        |    tot.n AS prev FROM c1, tot
+        |  UNION ALL SELECT 2, 'click', c2.n, c1.n FROM c2, c1
+        |  UNION ALL SELECT 3, 'purchase', c3.n, c2.n FROM c3, c2)
+        |SELECT stage, event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  CASE WHEN prev = 0 THEN NULL
+        |       ELSE CAST(n_users AS DOUBLE) / prev END AS conversion
+        |FROM st ORDER BY stage""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      val one = ev.agg(countDistinct("user_id").as("n0"))
+        .crossJoin(s1.agg(count(lit(1)).as("n1")))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      one.select(expr(
+          "stack(3, 1, 'view', n1, n0, 2, 'click', n2, n1, " +
+            "3, 'purchase', n3, n2) AS (stage, event_type, n_users, prev)"))
+        .select(col("stage"), col("event_type"), col("n_users"),
+          when(col("prev") === 0, lit(null).cast("double"))
+            .otherwise(col("n_users").cast("double") / col("prev"))
+            .as("conversion"))
+        .orderBy("stage")
+    },
+
+    // RETENTION COHORTS: users grouped by first-event week (Monday-start
+    // in both engines), counted distinct per calendar-week offset — the
+    // (cohort, week_offset) → retention matrix. Two user-keyed
+    // aggregates (first event; distinct active weeks) and one integer
+    // date arithmetic join; offsets are exact day-difference // 7 since
+    // both ends are week-truncated dates. Retention divides by the
+    // cohort's own size (its offset-0 population) — exact int/int.
+    Q("q_retention_cohorts",
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |j AS (SELECT a.user_id, f.cohort, (a.week - f.cohort) // 7
+        |    AS week_offset
+        |  FROM a JOIN f USING (user_id)),
+        |g AS (SELECT cohort, week_offset,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM j GROUP BY 1, 2)
+        |SELECT g.cohort, CAST(g.week_offset AS BIGINT) AS week_offset,
+        |  g.n_users, CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(g.n_users AS DOUBLE) / cs.cohort_size AS retention
+        |FROM g JOIN cs USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+      val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      val a = ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+      val g = a.join(f, Seq("user_id"))
+        .select(col("cohort"),
+          expr("datediff(week, cohort) div 7").cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+      g.join(cs, Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("n_users"),
+          col("cohort_size").cast("long").as("cohort_size"),
+          (col("n_users").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort", "week_offset")
+    },
+
     Q("q_month_bucket",
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  sum(o_totalprice) AS total_v, count(*) AS n_rows

@@ -126,4 +126,47 @@ class AggregatesSpec extends SparkSpec {
       assert(am >= lo && am <= hi, s"$c median: $am outside [$lo, $hi]")
     }
   }
+
+  test("funnel: order is load-bearing; cohorts: offsets and retention exact") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def t(day: Int, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val d = Files.createTempDirectory("graft-funnel").toString
+    // user 1: full ordered funnel; user 2: click BEFORE view (stage 2
+    // must not count it); user 3: view only; user 4: starts a week later
+    val rows = Seq(
+      (1L, t(1, 1), 1L, "view", 1.0), (2L, t(1, 2), 1L, "click", 1.0),
+      (3L, t(1, 3), 1L, "purchase", 1.0),
+      (4L, t(1, 1), 2L, "click", 1.0), (5L, t(1, 2), 2L, "view", 1.0),
+      (6L, t(2, 1), 3L, "view", 1.0),
+      (7L, t(10, 1), 4L, "view", 4.5), (8L, t(10, 2), 4L, "click", 1.0),
+      // user 1 active again in calendar week 2 (Jan 8 is a Monday)
+      (9L, t(9, 1), 1L, "view", 2.0))
+    rows.map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val funnel = SparkEntry.queries("q_event_funnel")(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    // stage 1: users 1,2,3,4 viewed; stage 2: 1 and 4 clicked after a
+    // view (user 2's click precedes it); stage 3: only user 1 purchased
+    assert(funnel(1) === (("view", 4L)))
+    assert(funnel(2) === (("click", 2L)))
+    assert(funnel(3) === (("purchase", 1L)))
+    val cohorts = SparkEntry.queries("q_retention_cohorts")(spark, d)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Jan-1 cohort: users 1,2,3 (size 3); user 1 returns in week offset 1
+    assert(cohorts(("2024-01-01", 0L)) === ((3L, 3L, 1.0)))
+    assert(cohorts(("2024-01-01", 1L)) === ((1L, 3L, 1.0 / 3)))
+    // Jan-8 cohort: user 4 only (size 1)
+    assert(cohorts(("2024-01-08", 0L)) === ((1L, 1L, 1.0)))
+    assert(cohorts.size === 3)
+    val feats = SparkEntry.queries("q_user_features")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6))).toMap
+    assert(feats(1L) === ((4L, 3L, 2L, 2.0))) // 4 events, 3 types, 2 days
+    assert(feats(4L)._4 === 4.5) // max_value
+  }
 }
