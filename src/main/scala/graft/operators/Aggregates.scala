@@ -617,6 +617,63 @@ object Aggregates {
         .orderBy("cohort", "week_offset")
     },
 
+    // NEXT-EVENT TRANSITION MATRIX: P(next type | current type) from each
+    // user's (ts, event_id)-ordered stream — the first-order Markov
+    // summary behavioral models start from (and the funnel's
+    // which-step-leaks diagnostic). One lead() window keyed on the
+    // high-cardinality user_id, then a type-pair count; the row-normalized
+    // probability is an exact int/int division under a type-keyed window
+    // sum. Type-pair cardinality is |types|² — the output is
+    // domain-bounded, never data-bounded.
+    Q("q_event_transitions",
+      """WITH p AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p", col("n").cast("double")
+          .divide(sum("n").over(Window.partitionBy("from_type"))))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Per-user EWMA (α = 0.5) over the (ts, event_id)-ordered value
+    // stream — the recency-weighted engagement score a feature store
+    // keeps next to the plain mean. The fold is SEQUENTIAL by
+    // definition, so both engines run the identical ordered reduction:
+    // DuckDB's list_reduce starts from the first element; the Spark fold
+    // seeds with element 1 and folds the rest, the same recurrence.
+    // round(·, 6) absorbs nothing here (all ops exact-identical) but
+    // keeps the established float-output convention.
+    Q("q_ewma",
+      """WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  round(list_reduce(vs, (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))))
+          .as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          expr("round(aggregate(slice(evs, 2, size(evs) - 1), " +
+            "evs[0].value, (a, x) -> a * 0.5 + x.value * 0.5), 6)")
+            .as("ewma"))
+        .orderBy("user_id")
+    },
+
     Q("q_month_bucket",
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  sum(o_totalprice) AS total_v, count(*) AS n_rows
