@@ -220,4 +220,53 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Input/output rows and keyed state for [[funnelStream]]. */
+  final case class FunnelEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+      event_type: String, event_id: Long, ts: java.sql.Timestamp)
+  final case class FunnelState(stage: Int, lastMicros: Long)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * q_event_funnel's view → click → purchase sequence match: per user,
+    * advance one stage when the NEXT stage's event type arrives strictly
+    * after the previous advance, and emit the advance row. Custom keyed
+    * state again (like the record stream): the comparison spans unbounded
+    * history, but the sufficient state is (stage index, last-advance
+    * micros) — two scalars per user regardless of volume. Micro-batch
+    * events are processed in (ts, event_id) order, the batch twin's total
+    * order; the strictly-after comparison runs on epoch micros, matching
+    * the batch operator's integer-micros discipline. A finished funnel
+    * stays finished (no re-entry), so each user emits ≤ |stages| rows
+    * ever.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          // full microsecond precision: getTime is millis, the sub-ms
+          // digits live in getNanos — matching the batch side's
+          // unix_micros ordering and comparisons exactly
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val micros = us(e.ts)
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || micros > st.lastMicros)) {
+              out += FunnelAdvance(user, st.stage + 1, e.event_type,
+                e.event_id, e.ts)
+              st = FunnelState(st.stage + 1, micros)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -170,6 +170,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream advances in order across micro-batches = batch funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real sf0.001 events, split mid-stream BY TIME so stage state must
+    // survive the micro-batch boundary
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy { case (_, id, ts, _) => (ts.getTime, id) }
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Streams.funnelStream(
+      mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+        .as[Streams.FunnelEvent])
+      .writeStream.format("memory").queryName("funnelstream")
+      .outputMode("append").start()
+    try {
+      val (h, t) = all.splitAt(all.length / 2)
+      mem.addData(h.toSeq); q.processAllAvailable()
+      mem.addData(t.toSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT stage, count(*) AS n FROM funnelstream GROUP BY 1")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = SparkEntry.queries("q_event_funnel")(spark, sfDir).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // the stream emits one advance per user per reached stage — its
+      // per-stage counts ARE the batch funnel's n_users column
+      (1 to 3).foreach { st =>
+        assert(got.getOrElse(st, 0L) === want(st), s"stage $st")
+      }
+    } finally q.stop()
+  }
+
   test("personal-record stream: custom state survives micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
