@@ -674,6 +674,60 @@ object Aggregates {
         .orderBy("user_id")
     },
 
+    // PIVOT to a wide feature table: one row per user, one column per
+    // event type — the layout a feature store exports for model training
+    // (long→wide is the last step after the aggregations). Spark's
+    // `pivot` with an EXPLICIT value list so the output schema is static
+    // (a dynamic pivot would need a driver-side distinct pass — the
+    // values are the domain, not the data); the oracle is the equivalent
+    // conditional-sum spelling. Missing combinations coalesce to 0.
+    Q("q_event_pivot", {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+      val duckCols = cols.map(c =>
+        s"CAST(sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS n_$c")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $duckCols
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+    }) { (s, d) =>
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", cols)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          cols.map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+        .orderBy("user_id")
+    },
+
+    // ROLLUP grouping sets — the subtotal/grand-total lattice a
+    // reporting layer asks for in one pass instead of three queries.
+    // grouping() flags disambiguate a NULL group value from a rollup
+    // subtotal row (the classic correctness trap); ordering pins NULLS
+    // FIRST explicitly because the engines' defaults differ (Spark asc =
+    // nulls first, DuckDB = nulls last). One shuffle: rollup is partial
+    // aggregation over the grouping-set lattice, combiner-friendly.
+    Q("q_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+          "sum_qty", "n_rows")
+        .orderBy(asc("g_flag"), asc("g_status"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
     Q("q_month_bucket",
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  sum(o_totalprice) AS total_v, count(*) AS n_rows

@@ -557,6 +557,36 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // FUZZY ENTITY MATCHING (edit distance with blocking): near-identical
+    // entity names — the record-linkage flavor of dedup, where the unit
+    // is a short string, not a document. Shape: distinct names first
+    // (2000 parts → 64 names: entity resolution always dedups exact
+    // before fuzzy), BLOCK on the head noun (last word) so candidate
+    // pairs are bounded per block and the join is an equi-join on the
+    // block key — never an all-pairs levenshtein — then the exact edit
+    // distance ≤ 4 filter. Both engines implement standard Levenshtein,
+    // so the distance is integer-identical.
+    Q("q_fuzzy_pairs",
+      """WITH nm AS (SELECT DISTINCT p_name FROM part),
+        |t AS (SELECT p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk
+        |  FROM nm),
+        |p AS (SELECT a.p_name AS a_name, b.p_name AS b_name, a.blk,
+        |    levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name)
+        |SELECT a_name, b_name, blk, CAST(lev AS BIGINT) AS lev
+        |FROM p WHERE lev <= 4 ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      val t = Tables.part(s, d).select("p_name").distinct()
+        .withColumn("blk", regexp_extract(col("p_name"), "(\\S+)$", 1))
+      val a = t.select(col("p_name").as("a_name"), col("blk"))
+      val b = t.select(col("p_name").as("b_name"), col("blk"))
+      a.join(b, Seq("blk"))
+        .where(col("a_name") < col("b_name"))
+        .withColumn("lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .where(col("lev") <= 4)
+        .select("a_name", "b_name", "blk", "lev")
+        .orderBy("a_name", "b_name")
+    },
+
     // MINHASH CALIBRATION: for every LSH candidate pair, the signature's
     // Jaccard ESTIMATE (matching components / 16) against the exact
     // shingle-set Jaccard — the report that answers "how many components

@@ -169,4 +169,27 @@ class AggregatesSpec extends SparkSpec {
     assert(feats(1L) === ((4L, 3L, 2L, 2.0))) // 4 events, 3 types, 2 days
     assert(feats(4L)._4 === 4.5) // max_value
   }
+
+  test("pivot row sums = per-user event counts; rollup lattice is consistent") {
+    val pivot = SparkEntry.queries("q_event_pivot")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(r.getLong(_)).sum).toMap
+    val feats = SparkEntry.queries("q_user_features")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pivot === feats)
+    val roll = SparkEntry.queries("q_rollup")(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+    val leaves = roll.filter(r => r._3 == 0 && r._4 == 0)
+    val subs = roll.filter(r => r._3 == 0 && r._4 == 1)
+    val grand = roll.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.length === 1)
+    assert(grand.head._6 === leaves.map(_._6).sum)
+    assert(math.abs(grand.head._5 - leaves.map(_._5).sum) < 1e-6)
+    // each flag subtotal covers exactly its leaves
+    subs.foreach { case (flag, _, _, _, qty, n) =>
+      val mine = leaves.filter(_._1 == flag)
+      assert(n === mine.map(_._6).sum, s"flag $flag")
+      assert(math.abs(qty - mine.map(_._5).sum) < 1e-6, s"flag $flag")
+    }
+  }
 }

@@ -273,6 +273,30 @@ class DedupSpec extends SparkSpec {
     assert(dup((1L, 2L)) === ((16L, 1.0)))
   }
 
+  test("fuzzy pairs: blocked on the head noun, exact edit distance, bounded") {
+    val rows = SparkEntry.queries("q_fuzzy_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case (a, b, blk, l) =>
+      assert(a < b)
+      assert(a.endsWith(blk) && b.endsWith(blk), s"($a,$b) blocked on $blk")
+      assert(l <= 4 && l === lev(a, b).toLong, s"($a,$b)")
+    }
+    // a known close pair in the synthetic vocabulary
+    assert(rows.exists { case (a, b, _, _) =>
+      a == "blue widget" && b == "red widget"
+    })
+  }
+
   test("keep-best survivor: longest member wins, ties to min id, one per cluster") {
     val rows = SparkEntry.queries("q_dedup_survivor")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
