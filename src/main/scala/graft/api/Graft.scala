@@ -450,6 +450,35 @@ final class Graft(val spark: SparkSession, root: String) {
     * surface for 100 TB curation. Thin wrappers: each call is the SAME
     * implementation the oracle-checked registry queries run.
     */
+  /** Event-stream analytics tools (the behavioral-data family layered on
+    * the `events` table: feature exports, conversion, retention).
+    */
+  object events {
+    /** Per-user feature block (counts, breadth, envelope, value stats). */
+    def userFeatures(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_user_features")(spark, dir)
+
+    /** Ordered view→click→purchase conversion funnel. */
+    def funnel(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_event_funnel")(spark, dir)
+
+    /** Weekly retention cohorts (first-event week × week offset). */
+    def retentionCohorts(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_retention_cohorts")(spark, dir)
+
+    /** First-order next-event transition matrix. */
+    def transitions(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_event_transitions")(spark, dir)
+
+    /** Recency-weighted per-user EWMA of event values. */
+    def ewma(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_ewma")(spark, dir)
+
+    /** Wide per-user event-type count export (pivot). */
+    def pivotCounts(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_event_pivot")(spark, dir)
+  }
+
   object pipeline {
 
     /** Per-document first-match curation status (exact_dup > near_dup >
@@ -581,6 +610,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Reciprocal-rank fusion of the BM25 and dense rankings. */
     def hybridRank(corpusDir: String): DataFrame =
       SparkEntryQueries("q_hybrid_rank", corpusDir)
+
+    /** Blocked edit-distance entity matching over part names. */
+    def fuzzyPairs(dir: String): DataFrame =
+      SparkEntryQueries("q_fuzzy_pairs", dir)
 
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)

@@ -224,7 +224,14 @@ class ApiSpec extends SparkSpec {
       g.pipeline.minhashCalibration(sfDir) -> "q_minhash_calibration",
       g.pipeline.phraseSearch(sfDir) -> "q_phrase_search",
       g.pipeline.docChunks(sfDir) -> "q_doc_chunks",
-      g.pipeline.hybridRank(sfDir) -> "q_hybrid_rank")
+      g.pipeline.hybridRank(sfDir) -> "q_hybrid_rank",
+      g.pipeline.fuzzyPairs(sfDir) -> "q_fuzzy_pairs",
+      g.events.userFeatures(sfDir) -> "q_user_features",
+      g.events.funnel(sfDir) -> "q_event_funnel",
+      g.events.retentionCohorts(sfDir) -> "q_retention_cohorts",
+      g.events.transitions(sfDir) -> "q_event_transitions",
+      g.events.ewma(sfDir) -> "q_ewma",
+      g.events.pivotCounts(sfDir) -> "q_event_pivot")
     pairs.foreach { case (df, name) =>
       val direct = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.toSeq === direct.columns.toSeq, name)
