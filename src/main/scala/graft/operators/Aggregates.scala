@@ -674,6 +674,47 @@ object Aggregates {
         .orderBy("user_id")
     },
 
+    // ROLLING ACTIVE USERS (DAU + trailing-7-day WAU): the
+    // engagement-metric pair every event pipeline reports. Rolling
+    // DISTINCT doesn't decompose into a window aggregate (distinct is
+    // not subtractable), so the exact form is the (day × active-day)
+    // RANGE JOIN over the per-day distinct-user sets — bounded by
+    // days × 7 × daily-actives, NOT by raw event volume, because the
+    // (user, day) dedup runs first. At 100 TB the exact join gives way
+    // to per-day HLL sketches merged over the trailing window; this is
+    // the exact reference implementation those sketches are validated
+    // against.
+    Q("q_rolling_actives",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |wau AS (SELECT d.day,
+        |    count(DISTINCT u.user_id) AS n_wau
+        |  FROM days d JOIN ud u
+        |    ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_dau FROM ud
+        |  GROUP BY 1)
+        |SELECT d.day, dau.n_dau, CAST(wau.n_wau AS BIGINT) AS n_wau,
+        |  CAST(dau.n_dau AS DOUBLE) / wau.n_wau AS stickiness
+        |FROM days d JOIN dau ON d.day = dau.day
+        |JOIN wau ON d.day = wau.day
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val days = ud.select("day").distinct()
+      val wau = days
+        .join(ud.select(col("user_id"), col("day").as("uday")),
+          col("uday").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("n_wau"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("n_dau"))
+      days.join(dau, Seq("day")).join(wau, Seq("day"))
+        .select(col("day"), col("n_dau"), col("n_wau").cast("long").as("n_wau"),
+          (col("n_dau").cast("double") / col("n_wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // PIVOT to a wide feature table: one row per user, one column per
     // event type — the layout a feature store exports for model training
     // (long→wide is the last step after the aggregations). Spark's

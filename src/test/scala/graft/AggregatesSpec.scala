@@ -170,6 +170,24 @@ class AggregatesSpec extends SparkSpec {
     assert(feats(4L)._4 === 4.5) // max_value
   }
 
+  test("rolling actives: WAU bounds DAU and equals the brute 7-day union") {
+    val rows = SparkEntry.queries("q_rolling_actives")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getDate(1).toLocalDate, r.getLong(0))).distinct
+    rows.foreach { case (day, dau, wau, stick) =>
+      val week = active.collect {
+        case (d, u) if !d.isAfter(day) && !d.isBefore(day.minusDays(6)) => u
+      }.toSet
+      assert(dau === active.count(_._1 == day), s"$day dau")
+      assert(wau === week.size.toLong, s"$day wau")
+      assert(wau >= dau && stick === dau.toDouble / wau, s"$day")
+    }
+  }
+
   test("pivot row sums = per-user event counts; rollup lattice is consistent") {
     val pivot = SparkEntry.queries("q_event_pivot")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (1 to 5).map(r.getLong(_)).sum).toMap

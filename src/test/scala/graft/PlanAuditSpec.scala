@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_curriculum", // same 1-row vocabulary-size broadcast (via lmScores)
     "q_hybrid_rank", // 1-row dense query vector broadcast
     "q_event_funnel", // four 1-row stage counts crossed into the report
+    "q_rolling_actives", // day-domain-bounded (≤ |days| rows) range probe
     "q_dsir_weight", // same 1-row vocabulary-size broadcast
     "q_sample_mixture", // 1-row total-T broadcast onto per-domain counts
     "q_mixture_temperature", // 1-row Σ√n and total-T onto per-source rows

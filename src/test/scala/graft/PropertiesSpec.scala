@@ -201,3 +201,86 @@ object GraphProperties extends Properties("graft.operators.GraphOps") {
     got.size == 201 && got.values.forall(_ == 0L)
   }
 }
+
+/** Fuzz the STATEFUL streaming funnel against a driver-side replay
+  * referee: random event streams (shared timestamps, shuffled arrival
+  * order, random micro-batch split points) must produce exactly the
+  * advances a sequential (ts, event_id)-ordered walk produces — the
+  * stream's sort-inside-the-batch plus carried (stage, last-micros)
+  * state may not diverge from the batch total order at any boundary.
+  */
+object FunnelProperties extends Properties("graft.streaming.funnel") {
+
+  // each case runs a full streaming query lifecycle
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val stages = Seq("view", "click", "purchase")
+  private val types = stages ++ Seq("error", "signup")
+
+  private val caseGen: Gen[(List[(Long, Long, Long, String)], Int)] =
+    for {
+      n <- Gen.choose(5, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        // coarse timestamps force equal-ts collisions (event_id breaks them)
+        t <- Gen.choose(0L, 9L)
+        ty <- Gen.oneOf(types)
+      } yield (u, t, ty))
+      split <- Gen.choose(0, n)
+    } yield (evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (u, i.toLong, t, ty)
+    }, split)
+
+  /** Sequential replay of the funnel contract over the full stream. */
+  private def referee(evs: Seq[(Long, Long, Long, String)])
+      : Map[Long, Int] =
+    evs.groupBy(_._1).map { case (u, es) =>
+      var stage = 0
+      var last = Long.MinValue
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, id, t, ty) =>
+        if (stage < stages.length && ty == stages(stage) &&
+            (stage == 0 || t > last)) { stage += 1; last = t }
+      }
+      u -> stage
+    }
+
+  property("stream advances == sequential replay across random batch splits") =
+    forAll(caseGen) { case (evs, split) =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val name = s"funnelprop${System.nanoTime()}"
+      val q = graft.streaming.Streams.funnelStream(
+        mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+          .as[graft.streaming.Streams.FunnelEvent])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // in-order delivery across batches (the no-late-data contract the
+        // batch-parity claim is scoped to): WITHIN a batch order is
+        // shuffled — the operator's own sort must fix it
+        val rows = evs.sortBy(e => (e._3, e._2))
+          .map { case (u, id, t, ty) => (u, id, ts(t), ty) }
+        val (h, t2) = rows.splitAt(split)
+        // reversed insertion inside each batch: the operator's own
+        // (ts, event_id) sort must restore the order
+        if (h.nonEmpty) { mem.addData(h.reverse); q.processAllAvailable() }
+        if (t2.nonEmpty) { mem.addData(t2.reverse); q.processAllAvailable() }
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+          .map { case (u, rs) => u -> rs.map(_._2).max }
+        val want = referee(evs).filter(_._2 > 0)
+        got == want
+      } finally q.stop()
+    }
+}
