@@ -477,6 +477,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Wide per-user event-type count export (pivot). */
     def pivotCounts(dir: String): DataFrame =
       graft.SparkEntry.queries("q_event_pivot")(spark, dir)
+
+    /** Rolling DAU/WAU actives with the stickiness ratio. */
+    def rollingActives(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_rolling_actives")(spark, dir)
   }
 
   object pipeline {
@@ -546,6 +550,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Train the IVF coarse quantizer and search the trained cells. */
     def annSearch(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ivf_trained", corpusDir)
+
+    /** Two-stage ANN: int8 coarse candidates re-ranked at full precision. */
+    def annRerank(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_ann_rerank", corpusDir)
 
     /** Leakage-safe train/val/test assignment (cluster-consistent). */
     def splitAssignments(corpusDir: String): DataFrame =

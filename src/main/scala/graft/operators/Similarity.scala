@@ -623,6 +623,73 @@ object Similarity {
         .orderBy("rnk")
     },
 
+    // TWO-STAGE ANN (coarse → refine): the production retrieval shape —
+    // a cheap int8 scan proposes top-20 candidates per query, and only
+    // those 20 are re-scored with full-precision cosine for the final
+    // top-3. At 100 TB the refine stage touches 20 rows per query
+    // regardless of corpus size (the full-precision vectors are fetched
+    // by id, never scanned), which is why every real ANN system layers
+    // exactly this refinement over its quantized index. Candidate
+    // generation reuses the quantized frame; the refine join is an
+    // equi-join on vec_id against the double-precision frame.
+    Q("q_ann_rerank",
+      s"""WITH $quantizedDuck,
+         |n8 AS (SELECT vec_id, qv,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM q8),
+         |qq AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna
+         |  FROM n8 WHERE vec_id < 10),
+         |coarse AS (SELECT q_id, nn_id FROM (
+         |    SELECT qq.q_id, c.vec_id AS nn_id,
+         |      row_number() OVER (PARTITION BY qq.q_id ORDER BY
+         |        list_sum(list_transform(qq.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+         |          / (qq.qna * c.qn) DESC, c.vec_id ASC) AS crnk
+         |    FROM qq JOIN n8 c ON c.vec_id <> qq.q_id) t
+         |  WHERE crnk <= 20),
+         |fv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+         |      AS nrm
+         |  FROM embeddings),
+         |fine AS (SELECT co.q_id, co.nn_id,
+         |    list_sum(list_transform(a.v, (x,i) -> x * b.v[i]))
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM coarse co JOIN fv a ON a.vec_id = co.q_id
+         |                 JOIN fv b ON b.vec_id = co.nn_id),
+         |r AS (SELECT q_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, nn_id ASC) AS rnk
+         |  FROM fine)
+         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val n8 = quantizedVecs(s, d)
+      val qq = n8.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+          col("qn").as("qna"))
+      val wc = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("nn_id"))
+      val coarse = n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"))
+        .join(broadcast(qq), col("nn_id") =!= col("q_id"))
+        .select(col("q_id"), col("nn_id"),
+          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+            (col("qna") * col("qn"))).as("ccos"))
+        .withColumn("crnk", row_number().over(wc))
+        .where(col("crnk") <= 20)
+        .select("q_id", "nn_id")
+      val fv = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      val wf = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+      coarse
+        .join(fv.select(col("vec_id").as("q_id"), col("v").as("qv0"),
+          col("nrm").as("qn0")), Seq("q_id"))
+        .join(fv.select(col("vec_id").as("nn_id"), col("v").as("cv"),
+          col("nrm").as("cn")), Seq("nn_id"))
+        .select(col("q_id"), col("nn_id"),
+          try_divide(ArrayOps.dotDouble(col("qv0"), col("cv")),
+            col("qn0") * col("cn")).as("cosine"))
+        .withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+
     // HARD-NEGATIVE MINING for contrastive training: for each query
     // vector, the top-3 most-similar candidates with a DIFFERENT label —
     // the "closest wrong answers" that make the strongest negatives for

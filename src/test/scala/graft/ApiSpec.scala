@@ -231,7 +231,9 @@ class ApiSpec extends SparkSpec {
       g.events.retentionCohorts(sfDir) -> "q_retention_cohorts",
       g.events.transitions(sfDir) -> "q_event_transitions",
       g.events.ewma(sfDir) -> "q_ewma",
-      g.events.pivotCounts(sfDir) -> "q_event_pivot")
+      g.events.pivotCounts(sfDir) -> "q_event_pivot",
+      g.events.rollingActives(sfDir) -> "q_rolling_actives",
+      g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>
       val direct = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.toSeq === direct.columns.toSeq, name)

@@ -142,6 +142,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-stage rerank: full recall vs exact brute force at depth 20") {
+    // with 20 int8 candidates for a top-3 answer, the refine stage must
+    // recover the exact full-precision top-3 (int8 rank error ≪ 17)
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rerank = SparkEntry.queries("q_ann_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rerank.keySet === brute.keySet)
+    val agree = rerank.count { case (k, nn) => brute(k) == nn }
+    assert(agree >= (rerank.size * 9) / 10,
+      s"only $agree/${rerank.size} re-ranked results match exact brute force")
+  }
+
   test("hard negatives: labels differ from the query's, ranks contiguous, " +
     "and the best hard negative never beats the best overall neighbor") {
     val rows = SparkEntry.queries("q_hard_negatives")(spark, sfDir).collect()
