@@ -481,6 +481,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Rolling DAU/WAU actives with the stickiness ratio. */
     def rollingActives(dir: String): DataFrame =
       graft.SparkEntry.queries("q_rolling_actives")(spark, dir)
+
+    /** Daily new-vs-returning user split. */
+    def newVsReturning(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_new_vs_returning")(spark, dir)
   }
 
   object pipeline {

@@ -715,6 +715,35 @@ object Aggregates {
         .orderBy("day")
     },
 
+    // NEW vs RETURNING split per day — the acquisition/retention lens on
+    // daily actives (pairs with q_rolling_actives and the cohort
+    // matrix). A user is "new" on their first-event day, "returning"
+    // on every later active day. Two user-keyed aggregates and one
+    // day-keyed count; exact int/int share.
+    Q("q_new_vs_returning",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |j AS (SELECT ud.day,
+        |    CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new
+        |  FROM ud JOIN f USING (user_id))
+        |SELECT day, CAST(sum(is_new) AS BIGINT) AS n_new,
+        |  CAST(sum(1 - is_new) AS BIGINT) AS n_returning,
+        |  CAST(sum(is_new) AS DOUBLE) / count(*) AS new_share
+        |FROM j GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val f = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(f, Seq("user_id"))
+        .select(col("day"),
+          when(col("day") === col("first_day"), 1L).otherwise(0L).as("is_new"))
+        .groupBy("day")
+        .agg(sum("is_new").as("n_new"),
+          sum(lit(1L) - col("is_new")).as("n_returning"),
+          (sum("is_new").cast("double") / count(lit(1))).as("new_share"))
+        .orderBy("day")
+    },
+
     // PIVOT to a wide feature table: one row per user, one column per
     // event type — the layout a feature store exports for model training
     // (long→wide is the last step after the aggregations). Spark's

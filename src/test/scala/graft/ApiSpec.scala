@@ -233,6 +233,7 @@ class ApiSpec extends SparkSpec {
       g.events.ewma(sfDir) -> "q_ewma",
       g.events.pivotCounts(sfDir) -> "q_event_pivot",
       g.events.rollingActives(sfDir) -> "q_rolling_actives",
+      g.events.newVsReturning(sfDir) -> "q_new_vs_returning",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>
       val direct = SparkEntry.queries(name)(spark, sfDir)
