@@ -1089,6 +1089,57 @@ object Aggregates {
         |  CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM g) AS frac
         |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
       distribution(Tables.events(s, d), "event_type").orderBy("event_type")
+    },
+
+    // Full CUBE over the same two dims as q_rollup — all four grouping
+    // sets in ONE pass (Catalyst expands the sets and map-side-combines
+    // each; no re-scan per set). Scale note: a CUBE over k dims emits 2^k
+    // rows per input row pre-combine — fine for low-cardinality dims like
+    // these, the wrong tool past k≈4 (materialize the base aggregate and
+    // roll up from it instead).
+    Q("q_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+          "sum_qty", "n_rows")
+        .orderBy(asc("g_flag"), asc("g_status"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Grouped EXACT multi-percentile (p50/p90/p99 latency-style report).
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    // linear-interpolation definition, so the values hash-match after the
+    // repo's round(·,6) float-parity convention. Exact percentiles sort
+    // each group's values once (single shuffle on the group key); at
+    // 100 TB with few groups prefer [[approxProfile]]'s
+    // percentile_approx sketch (bounded memory, no per-group sort).
+    Q("q_percentiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
     }
   )
 

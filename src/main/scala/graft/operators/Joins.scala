@@ -434,6 +434,59 @@ object Joins {
           col("o_orderdate").desc, col("o_orderkey").asc)
         .limit(20)
         .select("o_orderkey", "similarity_score", "pace_diff")
+    },
+
+    // Anti join: customers with NO orders, rolled up by segment. Planned
+    // as a shuffled left-anti hash join on the key — same shuffle shape
+    // as the inner join, no NOT-IN materialization, null-safe by
+    // construction (NOT EXISTS semantics, which is what left_anti is).
+    Q("q_anti_join",
+      """SELECT c.c_mktsegment, count(*) AS n_cust,
+        |  sum(c.c_acctbal) AS bal_v
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("bal_v"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Set operations: INTERSECT / EXCEPT between the customer sets of two
+    // order-status slices. Spark plans both as aggregate-free left-semi /
+    // left-anti joins over the deduped inputs — one shuffle each on the
+    // set element, no row-comparison sort. The two slices come from ONE
+    // scan each (status filter pushed to parquet).
+    Q("q_set_ops",
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderstatus = 'F'),
+        |  o AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, count(*) AS n
+        |  FROM (SELECT * FROM f INTERSECT SELECT * FROM o) t
+        |UNION ALL
+        |SELECT 'f_only' AS tag, count(*) AS n
+        |  FROM (SELECT * FROM f EXCEPT SELECT * FROM o) t
+        |UNION ALL
+        |SELECT 'o_only' AS tag, count(*) AS n
+        |  FROM (SELECT * FROM o EXCEPT SELECT * FROM f) t
+        |ORDER BY tag""".stripMargin) { (s, d) =>
+      def custOf(status: String) = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .select("o_custkey").distinct()
+      val f = custOf("F")
+      val o = custOf("O")
+      def tagged(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), col("n"))
+      tagged(f.intersect(o), "both")
+        .unionByName(tagged(f.except(o), "f_only"))
+        .unionByName(tagged(o.except(f), "o_only"))
+        .orderBy("tag")
     }
   )
 

@@ -210,4 +210,49 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(qty - mine.map(_._5).sum) < 1e-6, s"flag $flag")
     }
   }
+
+  test("cube ⊇ rollup lattice; percentiles ordered; set-ops/anti arithmetic") {
+    def sets(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+    val cube = sets("q_cube")
+    val roll = sets("q_rollup")
+    // cube = rollup's three grouping sets + (status-only subtotals)
+    assert(roll.toSet.subsetOf(cube.toSet))
+    val extra = cube.toSet -- roll.toSet
+    assert(extra.nonEmpty && extra.forall(r => r._3 == 1 && r._4 == 0))
+    val grand = cube.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.length === 1)
+    assert(extra.toSeq.map(_._6).sum === grand.head._6)
+
+    val pct = SparkEntry.queries("q_percentiles")(spark, sfDir).collect()
+    assert(pct.nonEmpty)
+    pct.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3),
+        s"percentiles out of order for ${r.getString(0)}")
+    }
+
+    val so = SparkEntry.queries("q_set_ops")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sfDir)
+    def nDistinct(st: String) = orders.filter(col("o_orderstatus") === st)
+      .select("o_custkey").distinct().count()
+    assert(so("both") + so("f_only") === nDistinct("F"))
+    assert(so("both") + so("o_only") === nDistinct("O"))
+
+    // anti(no F order) + semi(has F order) partitions every segment
+    val anti = SparkEntry.queries("q_anti_join")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sfDir)
+    val withF = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val total = cust.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val haveF = cust.join(withF, Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (seg, n) =>
+      assert(anti.getOrElse(seg, 0L) + haveF.getOrElse(seg, 0L) === n, seg)
+    }
+  }
 }
