@@ -99,6 +99,116 @@ object Similarity {
       |    list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
       |  FROM s WHERE scale IS NOT NULL)""".stripMargin
 
+  /** DuckDB CTE chain continuing [[quantizedDuck]] — int8 norms (`n8`)
+    * through the 8×4-bit hyperplane tables to `lr(q_id, nn_id, cosine,
+    * rnk)`: the LSH candidates' integer-cosine ranking per query. Shared
+    * by q_ann_lsh and q_ann_recall (which also reuses `n8` for its exact
+    * ground truth).
+    */
+  private[operators] val lshTopDuck: String = {
+    val planesDuck = (0 until 32)
+      .map(j => plane(j).mkString("[", ", ", "]"))
+      .mkString("[", ",\n       |    ", "]")
+    val hDuck = (0 until 4)
+      .map(b => s"bt[4 * t + ${b + 1}] * ${1 << b}")
+      .mkString(" + ")
+    s"""n8 AS (SELECT vec_id, qv,
+       |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+       |  FROM q8),
+       |bits AS (SELECT vec_id, list_transform(
+       |    $planesDuck,
+       |    p -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |      i -> qv[i] * p[i])) > 0 THEN 1 ELSE 0 END) AS bt
+       |  FROM n8),
+       |tb AS (SELECT vec_id, unnest(list_transform(generate_series(0, 7),
+       |    t -> {'t': t, 'h': $hDuck})) AS s
+       |  FROM bits),
+       |bk AS (SELECT vec_id, s.t AS t, s.h AS h FROM tb),
+       |qb AS (SELECT vec_id AS q_id, t, h FROM bk WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT c.vec_id AS nn_id, q.q_id
+       |  FROM bk c JOIN qb q ON c.t = q.t AND c.h = q.h
+       |  WHERE c.vec_id <> q.q_id),
+       |lsc AS (SELECT cand.q_id, cand.nn_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn) AS cosine
+       |  FROM cand JOIN n8 a ON cand.q_id = a.vec_id
+       |            JOIN n8 b ON cand.nn_id = b.vec_id),
+       |lr AS (SELECT q_id, nn_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+       |  FROM lsc)""".stripMargin
+  }
+
+  /** Spark: LSH candidate top-3 `(q_id, rnk, nn_id, cosine)` — the
+    * multi-table sign-bit layout shared by q_ann_lsh and q_ann_recall.
+    */
+  private[graft] def lshTop3(s: SparkSession, d: String): DataFrame = {
+    val n = quantizedVecs(s, d)
+    val nTables = 8
+    val bitsPerTable = 4
+    // ONE higher-order pass over a 2D plane literal computes all 32 sign
+    // bits, then the 8 per-table buckets — replacing 32 separate
+    // projection columns (same flops, far fewer codegen'd expression
+    // trees). The candidate join then carries IDS ONLY; vectors join
+    // back after the distinct (the minhash-pairs lesson: payload arrays
+    // never go through the pair shuffle).
+    val planesLit = (0 until nTables * bitsPerTable)
+      .map(j => plane(j).mkString("array(", "L, ", "L)"))
+      .mkString("array(", ", ", ")")
+    val hExpr = (0 until bitsPerTable)
+      .map(b => s"element_at(bits, ${bitsPerTable} * t + ${b + 1}) * ${1 << b}")
+      .mkString(" + ")
+    val bucketed = n
+      .select(col("vec_id"),
+        expr(s"""transform($planesLit,
+          p -> CASE WHEN aggregate(zip_with(qv, p, (x,y) -> x*y),
+            cast(0 AS bigint), (a,x) -> a + x) > 0 THEN 1 ELSE 0 END)""")
+          .as("bits"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${nTables - 1}), t -> struct(t AS t, $hExpr AS h))"))
+        .as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.h").as("h"))
+    val qb = bucketed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("t"), col("h"))
+    val cand = bucketed.select(col("vec_id").as("nn_id"), col("t"), col("h"))
+      .join(broadcast(qb), Seq("t", "h"))
+      .where(col("nn_id") =!= col("q_id"))
+      .select("q_id", "nn_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+    cand
+      .join(n.select(col("vec_id").as("q_id"),
+        col("qv").as("qa"), col("qn").as("qna")), Seq("q_id"))
+      .join(n.select(col("vec_id").as("nn_id"), col("qv"), col("qn")), Seq("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+          (col("qna") * col("qn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select("q_id", "rnk", "nn_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Spark: exact integer-cosine top-3 over the int8 corpus `(q_id, rnk,
+    * nn_id, cosine)` — shared by q_ann_quantized and (as ground truth)
+    * q_ann_recall.
+    */
+  private[graft] def quantTop3(s: SparkSession, d: String): DataFrame = {
+    // quantized corpus feeds both the query and candidate sides —
+    // persisted once per dir (Caches registry), like the double vecs frame
+    val n8 = quantizedVecs(s, d)
+    val q = n8.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("qn").as("qna"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+    n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"))
+      .join(broadcast(q), col("nn_id") =!= col("q_id"))
+      .select(col("q_id"), col("nn_id"),
+        (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+          (col("qna") * col("qn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select("q_id", "rnk", "nn_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------------- k-means (IVF trainer)
 
   private val KmDims = 1 to 64
@@ -277,23 +387,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
         |  FROM sc)
         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
-        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      // quantized corpus feeds both the query and candidate sides —
-      // persisted once per dir (Caches registry), like the double vecs frame
-      val n8 = quantizedVecs(s, d)
-      val q = n8.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("qn").as("qna"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
-      n8.select(col("vec_id").as("nn_id"), col("qv"), col("qn"))
-        .join(broadcast(q), col("nn_id") =!= col("q_id"))
-        .select(col("q_id"), col("nn_id"),
-          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
-            (col("qna") * col("qn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select("q_id", "rnk", "nn_id", "cosine")
-        .orderBy("q_id", "rnk")
-    },
+        |ORDER BY q_id, rnk""".stripMargin) { (s, d) => quantTop3(s, d) },
 
     // K-MEANS TRAINING for IVF (2 unrolled Lloyd iterations, K=4 seeds =
     // the lowest vec_ids): the step that turns q_ann_ivf's "given bucket
@@ -425,84 +519,51 @@ object Similarity {
     // where rounding flips a near-zero projection — recall@3 vs exact
     // brute force stays 0.8 on this corpus (SimilaritySpec floor 0.5;
     // the corpus' max cosine ~0.5 is LSH's worst case).
-    Q("q_ann_lsh", {
-      val planesDuck = (0 until 32)
-        .map(j => plane(j).mkString("[", ", ", "]"))
-        .mkString("[", ",\n         |    ", "]")
-      val hDuck = (0 until 4)
-        .map(b => s"bt[4 * t + ${b + 1}] * ${1 << b}")
-        .mkString(" + ")
+    Q("q_ann_lsh",
       s"""WITH $quantizedDuck,
-         |n8 AS (SELECT vec_id, qv,
-         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
-         |  FROM q8),
-         |bits AS (SELECT vec_id, list_transform(
-         |    $planesDuck,
-         |    p -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         |      i -> qv[i] * p[i])) > 0 THEN 1 ELSE 0 END) AS bt
-         |  FROM n8),
-         |tb AS (SELECT vec_id, unnest(list_transform(generate_series(0, 7),
-         |    t -> {'t': t, 'h': $hDuck})) AS s
-         |  FROM bits),
-         |bk AS (SELECT vec_id, s.t AS t, s.h AS h FROM tb),
-         |qb AS (SELECT vec_id AS q_id, t, h FROM bk WHERE vec_id < 10),
-         |cand AS (SELECT DISTINCT c.vec_id AS nn_id, q.q_id
-         |  FROM bk c JOIN qb q ON c.t = q.t AND c.h = q.h
-         |  WHERE c.vec_id <> q.q_id),
-         |sc AS (SELECT cand.q_id, cand.nn_id,
-         |    list_sum(list_transform(generate_series(1, 64),
-         |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn) AS cosine
-         |  FROM cand JOIN n8 a ON cand.q_id = a.vec_id
-         |            JOIN n8 b ON cand.nn_id = b.vec_id),
-         |r AS (SELECT q_id, nn_id, cosine,
+         |$lshTopDuck
+         |SELECT q_id, rnk, nn_id, cosine FROM lr WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) => lshTop3(s, d) },
+
+    // ANN QUALITY EVALUATION: recall@3 of the LSH candidate ranking
+    // against the exact integer-cosine ground truth, per query. This is
+    // the acceptance metric every approximate index ships with — the
+    // number that decides whether a bucketing config (tables × bits) is
+    // allowed to replace the brute-force scan. Both rankings use the same
+    // bit-exact integer cosine with the same (cosine DESC, nn_id) total
+    // order, so the top-3 SETS are cross-engine identical and recall is
+    // integer arithmetic — fully hash-checkable, no tolerance games. At
+    // 100 TB the ground truth comes from a sampled query set (never the
+    // full corpus); the join shape is unchanged: two TakeOrdered top-k
+    // frames, k·|queries| rows each, joined on (q_id, nn_id).
+    Q("q_ann_recall",
+      s"""WITH $quantizedDuck,
+         |$lshTopDuck,
+         |bq AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna
+         |  FROM n8 WHERE vec_id < 10),
+         |bsc AS (SELECT bq.q_id, c.vec_id AS nn_id,
+         |    list_sum(list_transform(bq.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+         |      / (bq.qna * c.qn) AS cosine
+         |  FROM bq JOIN n8 c ON c.vec_id <> bq.q_id),
+         |br AS (SELECT q_id, nn_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
-         |  FROM sc)
-         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
-      val n = quantizedVecs(s, d)
-      val nTables = 8
-      val bitsPerTable = 4
-      // ONE higher-order pass over a 2D plane literal computes all 32 sign
-      // bits, then the 8 per-table buckets — replacing 32 separate
-      // projection columns (same flops, far fewer codegen'd expression
-      // trees). The candidate join then carries IDS ONLY; vectors join
-      // back after the distinct (the minhash-pairs lesson: payload arrays
-      // never go through the pair shuffle).
-      val planesLit = (0 until nTables * bitsPerTable)
-        .map(j => plane(j).mkString("array(", "L, ", "L)"))
-        .mkString("array(", ", ", ")")
-      val hExpr = (0 until bitsPerTable)
-        .map(b => s"element_at(bits, ${bitsPerTable} * t + ${b + 1}) * ${1 << b}")
-        .mkString(" + ")
-      val bucketed = n
-        .select(col("vec_id"),
-          expr(s"""transform($planesLit,
-            p -> CASE WHEN aggregate(zip_with(qv, p, (x,y) -> x*y),
-              cast(0 AS bigint), (a,x) -> a + x) > 0 THEN 1 ELSE 0 END)""")
-            .as("bits"))
-        .select(col("vec_id"), explode(expr(
-          s"transform(sequence(0, ${nTables - 1}), t -> struct(t AS t, $hExpr AS h))"))
-          .as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.h").as("h"))
-      val qb = bucketed.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("t"), col("h"))
-      val cand = bucketed.select(col("vec_id").as("nn_id"), col("t"), col("h"))
-        .join(broadcast(qb), Seq("t", "h"))
-        .where(col("nn_id") =!= col("q_id"))
-        .select("q_id", "nn_id").distinct()
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
-      cand
-        .join(n.select(col("vec_id").as("q_id"),
-          col("qv").as("qa"), col("qn").as("qna")), Seq("q_id"))
-        .join(n.select(col("vec_id").as("nn_id"), col("qv"), col("qn")), Seq("nn_id"))
-        .select(col("q_id"), col("nn_id"),
-          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
-            (col("qna") * col("qn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select("q_id", "rnk", "nn_id", "cosine")
-        .orderBy("q_id", "rnk")
+         |  FROM bsc)
+         |SELECT b.q_id, count(l.nn_id) AS n_hits,
+         |  round(CAST(count(l.nn_id) AS DOUBLE) / 3, 6) AS recall
+         |FROM (SELECT q_id, nn_id FROM br WHERE rnk <= 3) b
+         |LEFT JOIN (SELECT q_id, nn_id FROM lr WHERE rnk <= 3) l
+         |  ON l.q_id = b.q_id AND l.nn_id = b.nn_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val b3 = quantTop3(s, d).select("q_id", "nn_id")
+      val l3 = lshTop3(s, d)
+        .select(col("q_id").as("lq"), col("nn_id").as("l_nn"))
+      b3.join(broadcast(l3),
+          col("q_id") === col("lq") && col("nn_id") === col("l_nn"),
+          "left_outer")
+        .groupBy("q_id")
+        .agg(count(col("l_nn")).as("n_hits"),
+          round(count(col("l_nn")).cast("double") / 3, 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // SEMANTIC DEDUP (SemDeDup shape): prune embedding-space near-copies
