@@ -248,6 +248,32 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
       |  FROM walk GROUP BY 1)""".stripMargin
 
+  /** DuckDB CTE chain continuing `pairs(a_id, b_id, …)` through `iters`
+    * unrolled fixed-point PageRank rounds to `r{iters}(node, r)` plus
+    * `deg(u, deg)` — the oracle half of [[GraphOps.pageRank]]. The
+    * iteration count is FIXED, so no recursion is needed: each round is a
+    * plain CTE referencing the previous one, and every quantity is
+    * BIGINT arithmetic (`//` here ≡ Spark's `div` on non-negative
+    * operands), which is what makes an iterative numeric operator
+    * hash-comparable across engines.
+    */
+  private[operators] def pageRankDuck(iters: Int, scale: Long): String = {
+    val base = s"(15 * $scale) // (100 * (SELECT n FROM nn))"
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT e.v AS node,
+         |    $base + (85 * sum(p.r // d.deg)) // 100 AS r
+         |  FROM r${k - 1} p JOIN und e ON e.u = p.node
+         |    JOIN deg d ON d.u = p.node
+         |  GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""und AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT u AS node, $scale // (SELECT n FROM nn) AS r FROM deg),
+       |$rounds"""
+  }
+
   /** DuckDB CTE chain ending in `pairs(a_id, b_id, jaccard)` — the oracle
     * half of [[ngramPairs]], shared by q_dedup_ngram and q_dedup_cluster.
     */
@@ -864,6 +890,28 @@ object Dedup {
         .select(col("a_id"), col("b_id"), cos.as("cosine"))
         .where(col("cosine") >= 0.4)
         .orderBy("a_id", "b_id")
+    },
+
+    // GRAPH CENTRALITY over the near-dup graph: 6 fixed-point PageRank
+    // rounds (damping 85/100) on the same undirected pair edges the
+    // cluster resolution uses. The curation read: a document whose
+    // near-dup neighbourhood is large AND well-connected (template/
+    // boilerplate hubs) ranks high — a better dedup-priority signal than
+    // raw degree because it weights neighbours by THEIR connectedness.
+    // All arithmetic is scaled BIGINT (see GraphOps.pageRank), so the
+    // scores are bit-identical across engines and cluster sizes — the
+    // oracle is an INDEPENDENT unrolled-CTE implementation, not a port.
+    Q("q_pagerank",
+      s"""WITH $ngramPairsDuck,
+         |${pageRankDuck(iters = 6, scale = 1000000000000L)}
+         |SELECT r.node AS doc_id, d.deg, r.r AS pr_scaled
+         |FROM r6 r JOIN deg d ON d.u = r.node
+         |ORDER BY pr_scaled DESC, doc_id""".stripMargin) { (s, d) =>
+      graft.Caches.getOrElseUpdate(
+          s"pagerank:$d:${graft.Caches.fingerprint(s, d)}",
+          GraphOps.pageRank(ngramPairs(s, d), "a_id", "b_id"))
+        .select(col("node").as("doc_id"), col("deg"), col("pr_scaled"))
+        .orderBy(desc("pr_scaled"), asc("doc_id"))
     }
   )
 }

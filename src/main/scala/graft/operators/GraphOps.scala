@@ -86,4 +86,49 @@ object GraphOps {
     und.unpersist()
     labels
   }
+
+  /** Fixed-iteration PageRank in 64-bit FIXED-POINT arithmetic over an
+    * undirected edge list: every rank is a BIGINT scaled by `scale`,
+    * every reduction a sum of longs, and every division an integer `div`
+    * on non-negative operands — so the result is BIT-EXACT regardless of
+    * partition count, reduction order, or engine. That determinism is the
+    * point: float PageRank drifts with aggregation order (different
+    * answers on 32 vs 1000 executors), while this one is reproducible
+    * and hash-checkable against an independent SQL implementation.
+    * Damping 0.85 is applied as the rational 85/100 (multiply, then
+    * integer-divide). Per iteration: one shuffle to push `r div deg`
+    * along edges with map-side partial sums, then an eager
+    * localCheckpoint so the loop never re-derives prior rounds (same
+    * lineage discipline as [[connectedComponents]]). Isolated vertices
+    * have no edges and are out of scope. Returns (node, deg, pr_scaled).
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 6, scale: Long = 1000000000000L): DataFrame = {
+    val und = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one scalar driver action (the same price connectedComponents pays
+    // per round for its fixpoint test); base is the (1-d)/N teleport term
+    // in fixed point
+    val n = deg.count()
+    val base = (15L * scale) / (100L * n)
+    var r = deg.select(col("u").as("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      r = und.join(r, und("u") === r("node"))
+        .join(deg, Seq("u"))
+        .select(col("v").as("node"), expr("r div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("sc"))
+        .select(col("node"), (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    val out = r.join(deg, r("node") === deg("u"))
+      .select(col("node"), col("deg"), col("r").as("pr_scaled"))
+      .localCheckpoint(true)
+    und.unpersist()
+    deg.unpersist()
+    out
+  }
 }

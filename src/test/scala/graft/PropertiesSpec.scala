@@ -200,6 +200,42 @@ object GraphProperties extends Properties("graft.operators.GraphOps") {
     val got = ccOf(edges)
     got.size == 201 && got.values.forall(_ == 0L)
   }
+
+  /** Driver-side replica of the fixed-point PageRank arithmetic — the
+    * distributed operator's claim is BIT-exactness, so the referee
+    * comparison is `==` on the scaled longs, no tolerance.
+    */
+  private def prReferee(edges: Seq[(Long, Long)], iters: Int = 6,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = deg.size.toLong
+    val base = (15L * scale) / (100L * n)
+    var r = deg.keys.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      r = und.groupBy(_._2).map { case (v, es) =>
+        v -> (base + (85L * es.map { case (u, _) => r(u) / deg(u) }.sum) / 100L)
+      }
+    }
+    r
+  }
+
+  private def prOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.operators.GraphOps
+      .pageRank(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  property("fixed-point pagerank matches the integer referee bit-for-bit") =
+    forAll(edgeGen) { edges => prOf(edges) == prReferee(edges) }
+
+  property("pagerank: star hub outranks leaves; teleport floor holds") = {
+    val edges = (1L to 50L).map(i => (i, 0L))
+    val pr = prOf(edges)
+    val base = (15L * 1000000000000L) / (100L * 51L)
+    pr.size == 51 && pr(0L) > pr(1L) && pr.values.forall(_ >= base)
+  }
 }
 
 /** Fuzz the STATEFUL streaming funnel against a driver-side replay
