@@ -485,6 +485,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Daily new-vs-returning user split. */
     def newVsReturning(dir: String): DataFrame =
       graft.SparkEntry.queries("q_new_vs_returning")(spark, dir)
+
+    /** Exact per-type p50/p90/p99 of event values (latency-style report). */
+    def percentiles(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_percentiles")(spark, dir)
   }
 
   object pipeline {
@@ -626,6 +630,18 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Blocked edit-distance entity matching over part names. */
     def fuzzyPairs(dir: String): DataFrame =
       SparkEntryQueries("q_fuzzy_pairs", dir)
+
+    /** Recall@3 of the LSH index vs the exact integer-cosine top-3 — the
+      * acceptance metric for any approximate index config.
+      */
+    def annRecall(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_ann_recall", corpusDir)
+
+    /** Fixed-point PageRank centrality over the near-dup pair graph
+      * (boilerplate/template hubs rank first).
+      */
+    def dupPageRank(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_pagerank", corpusDir)
 
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)

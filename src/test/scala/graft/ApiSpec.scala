@@ -234,6 +234,9 @@ class ApiSpec extends SparkSpec {
       g.events.pivotCounts(sfDir) -> "q_event_pivot",
       g.events.rollingActives(sfDir) -> "q_rolling_actives",
       g.events.newVsReturning(sfDir) -> "q_new_vs_returning",
+      g.events.percentiles(sfDir) -> "q_percentiles",
+      g.pipeline.annRecall(sfDir) -> "q_ann_recall",
+      g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>
       val direct = SparkEntry.queries(name)(spark, sfDir)
