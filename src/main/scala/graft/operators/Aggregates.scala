@@ -1140,6 +1140,32 @@ object Aggregates {
           round(percentile(col("value"), lit(0.99)), 6).as("p99"),
           count(lit(1)).as("n_rows"))
         .orderBy("event_type")
+    },
+
+    // Grouped MODE with a deterministic tiebreak (count DESC, then value
+    // ASC) — built-in mode() leaves ties engine-defined, so the portable
+    // form is count + row_number over the (group, value) count frame.
+    // That frame is value-domain-bounded, not row-bounded: the window
+    // sorts |groups|·|distinct values| rows, never the input.
+    Q("q_mode",
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, c_nationkey, cnt,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cnt DESC, c_nationkey ASC) AS rnk
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS n_mode
+        |FROM r WHERE rnk = 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val g = Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("cnt"), asc("c_nationkey"))
+      g.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+          col("cnt").as("n_mode"))
+        .orderBy("c_mktsegment")
     }
   )
 

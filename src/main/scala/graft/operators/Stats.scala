@@ -715,6 +715,61 @@ object Stats {
           regr_intercept(col("value"), col("x")).as("intercept"),
           regr_count(col("value"), col("x")).as("n_frontier"))
         .orderBy("user_id")
+    },
+
+    // FEATURE CORRELATION MATRIX: pairwise Pearson r over the lineitem
+    // numeric columns — the feature-audit pass a training pipeline runs
+    // before model fitting (collinear features inflate variance; the OLS
+    // VIF query is the per-model view, this is the whole-table view).
+    // ONE aggregate pass computes every sufficient statistic (n, Σx,
+    // Σx², Σxy per pair) with map-side partials — never one scan per
+    // pair — and the r formula is a SHARED string evaluated on the same
+    // stats in both dialects, round(·,6) absorbing partial-sum order.
+    Q("q_corr_matrix", {
+      val stats = CorrCols.map(c =>
+        s"sum($c) AS s_$c, sum($c * $c) AS q_$c").mkString(",\n        |  ")
+      val prods = CorrPairs.map { case (x, y) =>
+        s"sum($x * $y) AS p_${x}_$y" }.mkString(",\n        |  ")
+      val rows = CorrPairs.map { case (x, y) =>
+        s"SELECT '$x' AS x_col, '$y' AS y_col, n, ${corrFormula(x, y)} AS corr_r FROM st"
+      }.mkString("\n        |UNION ALL ")
+      s"""WITH st AS (SELECT count(*) AS n,
+        |  $stats,
+        |  $prods
+        |FROM lineitem)
+        |$rows
+        |ORDER BY x_col, y_col""".stripMargin
+    }) { (s, d) =>
+      val aggs =
+        CorrCols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS q_$c")) ++
+        CorrPairs.map { case (x, y) => s"sum($x * $y) AS p_${x}_$y" }
+      val stackArgs = CorrPairs.map { case (x, y) =>
+        s"'$x', '$y', ${corrFormula(x, y)}" }.mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(expr("count(*)").as("n"), aggs.map(expr): _*)
+        .select(col("n"), expr(
+          s"stack(${CorrPairs.size}, $stackArgs) AS (x_col, y_col, corr_r)"))
+        .select("x_col", "y_col", "n", "corr_r")
+        .orderBy("x_col", "y_col")
     }
   )
+
+  /** Columns and ordered pairs of the correlation matrix query (lazy:
+    * referenced from the `entries` initializer above).
+    */
+  private lazy val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private lazy val CorrPairs: Seq[(String, String)] =
+    for {
+      (x, i) <- CorrCols.zipWithIndex
+      y <- CorrCols.drop(i + 1)
+    } yield (x, y)
+
+  /** Pearson r from the sufficient statistics — IDENTICAL text in both
+    * dialects (`nullif` guards the zero-variance divisor in each).
+    */
+  private def corrFormula(x: String, y: String): String =
+    s"round((n * p_${x}_$y - s_$x * s_$y) / " +
+      s"nullif(sqrt(n * q_$x - s_$x * s_$x) * " +
+      s"sqrt(n * q_$y - s_$y * s_$y), 0), 6)"
 }

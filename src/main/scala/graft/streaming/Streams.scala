@@ -269,4 +269,44 @@ object Streams {
           out.result().iterator
       }
   }
+
+  final case class TransEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, event_id: Long)
+  final case class TransState(lastType: String, lastMicros: Long,
+      lastId: Long)
+
+  /** Streaming first-order transition emitter — the incremental twin of
+    * q_event_transitions' lead() pairs: per user, each arriving event
+    * emits (previous type → this type) and becomes the new previous. The
+    * sufficient state is ONE (type, micros, event_id) triple per user —
+    * the same constant-state discipline as the funnel — and micro-batch
+    * events are processed in (ts, event_id) order, the batch twin's
+    * total order. Contract: per-user arrival must be ts-monotone ACROSS
+    * batches (the replayable-log assumption every keyed-state stream
+    * here makes); within a batch any arrival order is fine. Aggregating
+    * the emitted pairs reproduces the batch transition counts exactly —
+    * pinned by StreamsSpec on the real event table.
+    */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TransEvent], state: GroupState[TransState]) =>
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (st != null)
+              out += Transition(user, st.lastType, e.event_type, e.event_id)
+            st = TransState(e.event_type, us(e.ts), e.event_id)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

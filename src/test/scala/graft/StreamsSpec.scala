@@ -202,6 +202,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transition stream pairs across micro-batches = batch lead() counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real sf0.001 events in (ts, event_id) order, split into three
+    // batches so the carried (lastType) state bridges two boundaries
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy { case (_, id, ts, _) => (ts.getTime, id) }
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Streams.transitionStream(
+      mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+        .as[Streams.TransEvent])
+      .writeStream.format("memory").queryName("transstream")
+      .outputMode("append").start()
+    try {
+      val third = all.length / 3
+      mem.addData(all.take(third).toSeq); q.processAllAvailable()
+      mem.addData(all.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      mem.addData(all.drop(2 * third).toSeq); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT from_type, to_type, count(*) AS n FROM transstream GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = SparkEntry.queries("q_event_transitions")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("personal-record stream: custom state survives micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
