@@ -1166,6 +1166,70 @@ object Aggregates {
         .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
           col("cnt").as("n_mode"))
         .orderBy("c_mktsegment")
+    },
+
+    // TUMBLING time-window aggregation (15 min) — the batch form of the
+    // windowedLoadStream shape, via Spark's native `window()` (epoch-
+    // aligned, so the bucket is pure integer floor math in both engines;
+    // the BIGINT epoch-second start keeps the compare timestamp-type-
+    // free). At 100 TB the window start is exactly the partition/
+    // clustering key a stream-table layout wants — aggregation shuffles
+    // once on it with map-side combine.
+    Q("q_tumbling_load",
+      """SELECT (epoch_ns(ts) // 900000000000) * 900 AS bucket_start,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(value) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          sum("value").as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("n_events"), col("n_users"), col("sum_v"))
+        .orderBy("bucket_start")
+    },
+
+    // HOPPING (sliding) window: 30-min span every 15 min — each event
+    // lands in exactly two windows. Spark's window(span, slide) explodes
+    // the per-event window set; the oracle derives the same starts
+    // arithmetically (s = (t div slide − k)·slide, k ∈ {0,1}). The
+    // deliberate cost note: a hop factor of span/slide multiplies rows
+    // INTO the shuffle — keep the ratio small at scale or pre-aggregate
+    // per slide and roll the spans up from slide-level partials.
+    Q("q_hopping_load",
+      """SELECT (epoch_ns(ts) // 900000000000 - k) * 900 AS window_start,
+        |  count(*) AS n_events,
+        |  sum(value) AS sum_v
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) hops
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("n_events"), col("sum_v"))
+        .orderBy("window_start")
+    },
+
+    // LAG FEATURES: the feature-store staple — previous values and the
+    // step delta per user in (ts, event_id) order. One window partition
+    // on the entity key; every lag column rides the same sort, so the
+    // whole feature block is one shuffle no matter how many lags.
+    Q("q_lag_features",
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS lag1,
+        |  lag(value, 2) OVER w AS lag2,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag("value", 1).over(w).as("lag1"),
+          lag("value", 2).over(w).as("lag2"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
     }
   )
 

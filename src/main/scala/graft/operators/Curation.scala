@@ -272,6 +272,34 @@ object Curation {
           greatest(col("sa"), col("sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
         .orderBy("source_a", "source_b")
+    },
+
+    // SHARD BALANCE AUDIT: deterministic hash-shard assignment (the
+    // training-output write layout — shard = h(doc_id) mod 16) plus the
+    // per-shard row/char balance report a data engineer reads before
+    // committing the layout. The hash is the sampling family's exact
+    // int64 multiplicative hash, so assignment is engine- and
+    // cluster-size-independent: the same doc lands in the same shard on
+    // 32 cores or 1000 executors, which is what makes reshard-free
+    // incremental appends possible. One aggregation shuffle on the
+    // 16-value shard key; the grand total rides a window over the
+    // 16-row aggregate, not the input.
+    Q("q_shard_balance",
+      """WITH a AS (SELECT
+        |    ((doc_id * 2654435761) % 1000000007) % 16 AS shard, n_chars
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS frac
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(expr("((doc_id * 2654435761) % 1000000007) % 16").as("shard"),
+          col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("frac", round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy()), 6))
+        .orderBy("shard")
     }
   )
 }
