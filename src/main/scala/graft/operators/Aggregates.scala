@@ -1230,6 +1230,43 @@ object Aggregates {
           lag("value", 2).over(w).as("lag2"),
           (col("value") - lag("value", 1).over(w)).as("delta"))
         .orderBy("user_id", "event_id")
+    },
+
+    // WEEKLY CHURN: actives in week w who have no activity in week w+1.
+    // Weeks are integer epoch buckets (floor-div by 604800 s — exact in
+    // both engines, no calendar/timezone surface). The (user, week)
+    // distinct frame self-joins one week forward as a left join; churned
+    // = unmatched. The final week is right-censored (everyone "churns")
+    // — the reader drops it; the operator stays censoring-agnostic.
+    // Scale: the distinct frame is |users|·|weeks| — entity-bounded, far
+    // smaller than the event input — and both sides of the self-join
+    // share the user_id shuffle key.
+    Q("q_churn_rate",
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week_idx
+        |  FROM events)
+        |SELECT a.week_idx, count(*) AS n_active,
+        |  count(CASE WHEN b.user_id IS NULL THEN 1 END) AS n_churned,
+        |  round(CAST(count(CASE WHEN b.user_id IS NULL THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS churn_rate
+        |FROM wk a LEFT JOIN wk b
+        |  ON b.user_id = a.user_id AND b.week_idx = a.week_idx + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("week_idx"))
+        .distinct()
+      val nxt = wk.select(col("user_id").as("b_user"),
+        (col("week_idx") - 1).as("b_week"))
+      wk.join(nxt,
+          col("user_id") === col("b_user") && col("week_idx") === col("b_week"),
+          "left_outer")
+        .groupBy("week_idx")
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("b_user").isNull, 1)).as("n_churned"),
+          round(count(when(col("b_user").isNull, 1)).cast("double")
+            / count(lit(1)), 6).as("churn_rate"))
+        .orderBy("week_idx")
     }
   )
 

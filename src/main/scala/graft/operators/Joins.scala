@@ -487,6 +487,80 @@ object Joins {
         .unionByName(tagged(f.except(o), "f_only"))
         .unionByName(tagged(o.except(f), "o_only"))
         .orderBy("tag")
+    },
+
+    // SHIPPING-PRIORITY shape (TPC-H Q3): segment-filtered customers ⨝
+    // orders ⨝ lineitem, revenue per order, top 10. The dim filter
+    // (c_mktsegment) broadcasts; the orders⨝lineitem shuffle carries
+    // only the join keys + revenue terms. Revenue is rounded to 6 dp
+    // BEFORE the ranking so the top-10 cut is the same on both engines
+    // (raw float sums can differ in the last ulp and flip near-ties).
+    Q("q_ship_priority",
+      """SELECT o.o_orderkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+        |  CAST(o.o_orderdate AS DATE) AS order_date
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 3
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+        .select("o_orderkey", "revenue", "order_date")
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    },
+
+    // MARKET-SHARE shape (TPC-H Q8): the deep dim chain region → nation
+    // → customer joined into the orders⨝lineitem fact flow. The TINY
+    // dims (region, nation) broadcast into customer first — pruning
+    // customers to the ASIA region before any fact shuffle — but
+    // customer itself scales with the data, so customer⨝orders and
+    // orders⨝lineitem are shuffled equi joins, never a broadcast that
+    // only fits at toy scale. Share = one nation's revenue fraction per
+    // order year, the numerator as a conditional sum inside the same
+    // aggregate (never a second scan or self-join).
+    Q("q_market_share",
+      """SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n.n_name = 'JAPAN'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+        |    / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS japan_share,
+        |  count(*) AS n_rows
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val asianCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), rev.as("rev"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asianCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+            sum(when(col("n_name") === "JAPAN", col("rev")).otherwise(lit(0)))
+              / sum(col("rev")), 6).as("japan_share"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_year")
     }
   )
 
