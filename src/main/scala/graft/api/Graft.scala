@@ -489,6 +489,12 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Exact per-type p50/p90/p99 of event values (latency-style report). */
     def percentiles(dir: String): DataFrame =
       graft.SparkEntry.queries("q_percentiles")(spark, dir)
+
+    /** Last-touch attribution: purchases credited to the most recent
+      * click within the 1-hour window.
+      */
+    def attribution(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_attribution")(spark, dir)
   }
 
   object pipeline {
@@ -642,6 +648,12 @@ final class Graft(val spark: SparkSession, root: String) {
       */
     def dupPageRank(corpusDir: String): DataFrame =
       SparkEntryQueries("q_pagerank", corpusDir)
+
+    /** nDCG@3 of the LSH ranking vs the exact ranking (graded order
+      * quality, complementing annRecall's set metric).
+      */
+    def annNdcg(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_ann_ndcg", corpusDir)
 
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)

@@ -113,6 +113,11 @@ object GraphOps {
     // per round for its fixpoint test); base is the (1-d)/N teleport term
     // in fixed point
     val n = deg.count()
+    if (n == 0L) { // edgeless graph: no vertices, not a division by zero
+      und.unpersist(); deg.unpersist()
+      return deg.select(col("u").as("node"), col("deg"),
+        col("deg").as("pr_scaled"))
+    }
     val base = (15L * scale) / (100L * n)
     var r = deg.select(col("u").as("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {

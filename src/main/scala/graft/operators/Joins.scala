@@ -67,6 +67,11 @@ object Joins {
     * `rightTiebreak` descending. Left rows with no preceding right row are
     * dropped (inner semantics, matching the reference).
     *
+    * `leftTs`/`rightTs` must be TIMESTAMP (or date) columns: the union
+    * tag casts them to timestamp, and a numeric epoch-micros column cast
+    * to timestamp is read as SECONDS — large epochs overflow the internal
+    * micros long and scramble the order (observed, not hypothetical).
+    *
     * Exact duplicates on the left survive (each is its own union row) — the
     * round-1 formulation's dedup window partitioned by all left columns
     * silently dropped them (ADVICE r1).
@@ -487,6 +492,51 @@ object Joins {
         .unionByName(tagged(f.except(o), "f_only"))
         .unionByName(tagged(o.except(f), "o_only"))
         .orderBy("tag")
+    },
+
+    // LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's
+    // most recent click at-or-before it, provided the gap is within the
+    // 1-hour attribution window. The as-of machinery does the heavy
+    // lifting (ONE union-tag shuffle on user_id, no join blowup); the
+    // window filter runs on the single matched row per purchase. All
+    // time comparisons are explicit integer MICROS in both dialects —
+    // the source timestamps carry nanoseconds, and floor-to-micros on
+    // both sides makes the <= / tiebreak semantics identical by
+    // construction instead of by luck.
+    Q("q_attribution",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_ns(ts) // 1000 AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_ns(ts) // 1000 AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, click_id,
+        |  (p_us - c_us) // 1000000 AS gap_s
+        |FROM (
+        |  SELECT p.purchase_id, p.user_id, c.click_id, p.p_us, c.c_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us) t
+        |WHERE rn = 1 AND p_us - c_us <= 3600000000
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      // the Spark timestamps are already micros precision, so comparing
+      // them IS comparing the oracle's floored integer micros; the gap
+      // math drops to explicit unix_micros
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      asofBackward(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
+          "click_id")
+        .withColumn("gap_us",
+          expr("unix_micros(p_ts) - unix_micros(c_ts)"))
+        .where(col("gap_us") <= 3600L * 1000000L)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          expr("gap_us div 1000000").as("gap_s"))
+        .orderBy("purchase_id")
     },
 
     // SHIPPING-PRIORITY shape (TPC-H Q3): segment-filtered customers ⨝

@@ -187,6 +187,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** DuckDB CTE chain continuing `n8` (from [[lshTopDuck]]) to
+    * `br(q_id, nn_id, rnk)` — the exact integer-cosine brute ranking
+    * used as ground truth by q_ann_recall and q_ann_ndcg.
+    */
+  private[operators] val bruteTopDuck: String =
+    """bq AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna
+      |  FROM n8 WHERE vec_id < 10),
+      |bsc AS (SELECT bq.q_id, c.vec_id AS nn_id,
+      |    list_sum(list_transform(bq.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+      |      / (bq.qna * c.qn) AS cosine
+      |  FROM bq JOIN n8 c ON c.vec_id <> bq.q_id),
+      |br AS (SELECT q_id, nn_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+      |  FROM bsc)""".stripMargin
+
+  /** Ideal DCG@3 — identical expression text in both dialects so the
+    * constant is bit-identical.
+    */
+  private val idcgSql =
+    "(3 / log2(CAST(2 AS DOUBLE)) + 2 / log2(CAST(3 AS DOUBLE)) + " +
+      "1 / log2(CAST(4 AS DOUBLE)))"
+
   /** Spark: exact integer-cosine top-3 over the int8 corpus `(q_id, rnk,
     * nn_id, cosine)` — shared by q_ann_quantized and (as ground truth)
     * q_ann_recall.
@@ -539,15 +561,7 @@ object Similarity {
     Q("q_ann_recall",
       s"""WITH $quantizedDuck,
          |$lshTopDuck,
-         |bq AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna
-         |  FROM n8 WHERE vec_id < 10),
-         |bsc AS (SELECT bq.q_id, c.vec_id AS nn_id,
-         |    list_sum(list_transform(bq.qa, (x,i) -> x * c.qv[i]))::DOUBLE
-         |      / (bq.qna * c.qn) AS cosine
-         |  FROM bq JOIN n8 c ON c.vec_id <> bq.q_id),
-         |br AS (SELECT q_id, nn_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
-         |  FROM bsc)
+         |$bruteTopDuck
          |SELECT b.q_id, count(l.nn_id) AS n_hits,
          |  round(CAST(count(l.nn_id) AS DOUBLE) / 3, 6) AS recall
          |FROM (SELECT q_id, nn_id FROM br WHERE rnk <= 3) b
@@ -563,6 +577,42 @@ object Similarity {
         .groupBy("q_id")
         .agg(count(col("l_nn")).as("n_hits"),
           round(count(col("l_nn")).cast("double") / 3, 6).as("recall"))
+        .orderBy("q_id")
+    },
+
+    // GRADED ranking quality: nDCG@3 of the LSH ranking, relevance
+    // graded by the exact ranking's position (rel = 4 − true rank; 0 for
+    // anything outside the true top-3). Complements q_ann_recall's set
+    // metric: recall can't see that the index returned the right
+    // neighbours in the wrong ORDER, nDCG can. IDCG is the same
+    // expression text in both dialects; position discounts are
+    // log2(rank+1) on integer ranks, so the only float work is three
+    // discounted terms per query, rounded to 6 dp.
+    Q("q_ann_ndcg",
+      s"""WITH $quantizedDuck,
+         |$lshTopDuck,
+         |$bruteTopDuck,
+         |rel AS (SELECT q_id, nn_id, 4 - rnk AS rel FROM br WHERE rnk <= 3)
+         |SELECT l.q_id,
+         |  round(sum(coalesce(r.rel, 0) / log2(l.rnk + 1)), 6) AS dcg,
+         |  round(sum(coalesce(r.rel, 0) / log2(l.rnk + 1)) / $idcgSql, 6)
+         |    AS ndcg,
+         |  count(*) AS n_ranked
+         |FROM (SELECT q_id, nn_id, rnk FROM lr WHERE rnk <= 3) l
+         |LEFT JOIN rel r ON r.q_id = l.q_id AND r.nn_id = l.nn_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val truth = quantTop3(s, d)
+        .select(col("q_id").as("tq"), col("nn_id").as("t_nn"),
+          (lit(4) - col("rnk")).as("rel"))
+      val l3 = lshTop3(s, d).select("q_id", "nn_id", "rnk")
+      val dcg = sum(coalesce(col("rel"), lit(0)) / log2(col("rnk") + 1))
+      l3.join(broadcast(truth),
+          col("q_id") === col("tq") && col("nn_id") === col("t_nn"),
+          "left_outer")
+        .groupBy("q_id")
+        .agg(round(dcg, 6).as("dcg"),
+          round(dcg / expr(idcgSql), 6).as("ndcg"),
+          count(lit(1)).as("n_ranked"))
         .orderBy("q_id")
     },
 

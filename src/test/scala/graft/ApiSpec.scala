@@ -235,7 +235,9 @@ class ApiSpec extends SparkSpec {
       g.events.rollingActives(sfDir) -> "q_rolling_actives",
       g.events.newVsReturning(sfDir) -> "q_new_vs_returning",
       g.events.percentiles(sfDir) -> "q_percentiles",
+      g.events.attribution(sfDir) -> "q_attribution",
       g.pipeline.annRecall(sfDir) -> "q_ann_recall",
+      g.pipeline.annNdcg(sfDir) -> "q_ann_ndcg",
       g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>

@@ -236,6 +236,10 @@ object GraphProperties extends Properties("graft.operators.GraphOps") {
     val base = (15L * 1000000000000L) / (100L * 51L)
     pr.size == 51 && pr(0L) > pr(1L) && pr.values.forall(_ >= base)
   }
+
+  property("pagerank: empty edge list yields an empty frame, not a crash") = {
+    prOf(Seq.empty).isEmpty
+  }
 }
 
 /** Fuzz the STATEFUL streaming funnel against a driver-side replay
