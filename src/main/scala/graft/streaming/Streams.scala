@@ -309,4 +309,51 @@ object Streams {
           out.result().iterator
       }
   }
+
+  final case class AttrEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class Attribution(user_id: Long, purchase_id: Long,
+      click_id: Long, gap_s: Long)
+  final case class ClickState(clickId: Long, micros: Long)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * q_attribution: per user, the latest click is ONE (id, micros) pair
+    * of state; a purchase arriving within `windowSeconds` of it emits
+    * the attribution row immediately (no batch-end join). Events are
+    * processed in (ts, event_id) order inside each micro-batch; clicks
+    * at the same micros overwrite in event-id order, reproducing the
+    * batch side's max-click-id tiebreak. Same cross-batch contract as
+    * the transition stream: per-user arrival is ts-monotone across
+    * batches (replayable log). Non-click/purchase event types flow
+    * through as no-ops, so the raw stream needs no pre-filter.
+    */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent],
+      windowSeconds: Long = 3600L)
+      : org.apache.spark.sql.Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AttrEvent], state: GroupState[ClickState]) =>
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Attribution]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" =>
+                st = ClickState(e.event_id, us(e.ts))
+              case "purchase" =>
+                val p = us(e.ts)
+                if (st != null && st.micros <= p &&
+                    p - st.micros <= windowSeconds * 1000000L)
+                  out += Attribution(user, e.event_id, st.clickId,
+                    (p - st.micros) / 1000000L)
+              case _ => ()
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

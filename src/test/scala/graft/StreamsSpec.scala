@@ -232,6 +232,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution stream across micro-batches = batch last-touch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy { case (_, id, ts, _) => (ts.getTime, id) }
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Streams.attributionStream(
+      mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+        .as[Streams.AttrEvent])
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode("append").start()
+    try {
+      val third = all.length / 3
+      mem.addData(all.take(third).toSeq); q.processAllAvailable()
+      mem.addData(all.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      mem.addData(all.drop(2 * third).toSeq); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT purchase_id, click_id, gap_s FROM attrstream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = SparkEntry.queries("q_attribution")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(want.nonEmpty) // sf0.001 has real attributed purchases
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("personal-record stream: custom state survives micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
