@@ -655,6 +655,10 @@ final class Graft(val spark: SparkSession, root: String) {
     def annNdcg(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ann_ndcg", corpusDir)
 
+    /** Label purity per trained k-means cell (coarse-quantizer sanity). */
+    def clusterPurity(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_cluster_purity", corpusDir)
+
     private def SparkEntryQueries(name: String, d: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, d)
   }

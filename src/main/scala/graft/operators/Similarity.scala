@@ -617,6 +617,39 @@ object Similarity {
     },
 
     // SEMANTIC DEDUP (SemDeDup shape): prune embedding-space near-copies
+    // CLUSTERING-QUALITY EVAL: label purity per trained k-means cell —
+    // the sanity check that decides whether the coarse quantizer's cells
+    // mean anything before they gate IVF search or SemDeDup pruning.
+    // Majority label per cell with a deterministic tiebreak (count DESC,
+    // label ASC); purity = majority fraction. Labels join the persisted
+    // assignment on vec_id (one equi-join); the count frame is
+    // |cells|·|labels| — domain-bounded, never row-bounded.
+    Q("q_cluster_purity",
+      s"""WITH $kmeansDuck,
+         |lab AS (SELECT a2.vec_id, a2.cid, e.label
+         |  FROM a2 JOIN embeddings e USING (vec_id)),
+         |g AS (SELECT cid, label, count(*) AS cnt FROM lab GROUP BY 1, 2),
+         |m AS (SELECT cid, label AS maj_label, cnt,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM g),
+         |t AS (SELECT cid, sum(cnt) AS n FROM g GROUP BY 1)
+         |SELECT t.cid, t.n, m.maj_label,
+         |  round(CAST(m.cnt AS DOUBLE) / t.n, 6) AS purity
+         |FROM t JOIN m ON m.cid = t.cid AND m.rn = 1
+         |ORDER BY t.cid""".stripMargin) { (s, d) =>
+      val lab = kmeansAssign(s, d).select("vec_id", "cid")
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+      val g = lab.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("cid").orderBy(desc("cnt"), asc("label"))
+      g.withColumn("rn", row_number().over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("cid")))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("n"), col("label").as("maj_label"),
+          round(col("cnt").cast("double") / col("n"), 6).as("purity"))
+        .orderBy("cid")
+    },
+
     // WITHIN each trained k-means cell — quantize → train → assign (the
     // persisted IVF assignment), then integer-cosine pairs inside a cell
     // only, dropping every vector that has a smaller-id partner at

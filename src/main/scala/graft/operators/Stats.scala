@@ -728,9 +728,9 @@ object Stats {
     Q("q_corr_matrix", {
       val stats = CorrCols.map(c =>
         s"sum($c) AS s_$c, sum($c * $c) AS q_$c").mkString(",\n        |  ")
-      val prods = CorrPairs.map { case (x, y) =>
+      val prods = corrPairsOf(CorrCols).map { case (x, y) =>
         s"sum($x * $y) AS p_${x}_$y" }.mkString(",\n        |  ")
-      val rows = CorrPairs.map { case (x, y) =>
+      val rows = corrPairsOf(CorrCols).map { case (x, y) =>
         s"SELECT '$x' AS x_col, '$y' AS y_col, n, ${corrFormula(x, y)} AS corr_r FROM st"
       }.mkString("\n        |UNION ALL ")
       s"""WITH st AS (SELECT count(*) AS n,
@@ -739,30 +739,39 @@ object Stats {
         |FROM lineitem)
         |$rows
         |ORDER BY x_col, y_col""".stripMargin
-    }) { (s, d) =>
-      val aggs =
-        CorrCols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS q_$c")) ++
-        CorrPairs.map { case (x, y) => s"sum($x * $y) AS p_${x}_$y" }
-      val stackArgs = CorrPairs.map { case (x, y) =>
-        s"'$x', '$y', ${corrFormula(x, y)}" }.mkString(", ")
-      Tables.lineitem(s, d)
-        .agg(expr("count(*)").as("n"), aggs.map(expr): _*)
-        .select(col("n"), expr(
-          s"stack(${CorrPairs.size}, $stackArgs) AS (x_col, y_col, corr_r)"))
-        .select("x_col", "y_col", "n", "corr_r")
-        .orderBy("x_col", "y_col")
-    }
+    }) { (s, d) => corrMatrix(Tables.lineitem(s, d), CorrCols) }
   )
 
-  /** Columns and ordered pairs of the correlation matrix query (lazy:
+  /** Pairwise Pearson correlation matrix over `cols`, computed from ONE
+    * sufficient-statistics aggregate pass (n, Σx, Σx², Σxy per pair —
+    * map-side combined; never one scan per pair). Zero-variance columns
+    * yield NULL r (nullif divisor), not a crash. Returns one row per
+    * unordered pair: (x_col, y_col, n, corr_r), r rounded to 6 dp.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = corrPairsOf(cols)
+    val aggs =
+      cols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS q_$c")) ++
+      pairs.map { case (x, y) => s"sum($x * $y) AS p_${x}_$y" }
+    val stackArgs = pairs.map { case (x, y) =>
+      s"'$x', '$y', ${corrFormula(x, y)}" }.mkString(", ")
+    df.agg(expr("count(*)").as("n"), aggs.map(expr): _*)
+      .select(col("n"), expr(
+        s"stack(${pairs.size}, $stackArgs) AS (x_col, y_col, corr_r)"))
+      .select("x_col", "y_col", "n", "corr_r")
+      .orderBy("x_col", "y_col")
+  }
+
+  /** Columns of the registered correlation matrix query (lazy:
     * referenced from the `entries` initializer above).
     */
   private lazy val CorrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-  private lazy val CorrPairs: Seq[(String, String)] =
+
+  private def corrPairsOf(cols: Seq[String]): Seq[(String, String)] =
     for {
-      (x, i) <- CorrCols.zipWithIndex
-      y <- CorrCols.drop(i + 1)
+      (x, i) <- cols.zipWithIndex
+      y <- cols.drop(i + 1)
     } yield (x, y)
 
   /** Pearson r from the sufficient statistics — IDENTICAL text in both

@@ -39,6 +39,17 @@ class AnsiRobustnessSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("cv")))
   }
 
+  test("corr matrix: zero-variance column -> null r, not crash") {
+    val df = Seq((1.0, 5.0, 1.0), (2.0, 5.0, 2.0), (3.0, 5.0, 3.0))
+      .toDF("a", "b", "c")
+    val rows = graft.operators.Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(("a", "b")) === None)      // b is constant
+    assert(rows(("b", "c")) === None)
+    assert(rows(("a", "c")) === Some(1.0)) // c = a exactly
+  }
+
   test("weighted avg: all-zero weights -> null") {
     val df = Seq(("g", 10.0, 0.0), ("g", 20.0, 0.0)).toDF("k", "m", "w")
     val row = Aggregates.weightedAvg(df, "k", "m", "w").head()

@@ -238,6 +238,7 @@ class ApiSpec extends SparkSpec {
       g.events.attribution(sfDir) -> "q_attribution",
       g.pipeline.annRecall(sfDir) -> "q_ann_recall",
       g.pipeline.annNdcg(sfDir) -> "q_ann_ndcg",
+      g.pipeline.clusterPurity(sfDir) -> "q_cluster_purity",
       g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>
