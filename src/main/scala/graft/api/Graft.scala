@@ -625,6 +625,16 @@ final class Graft(val spark: SparkSession, root: String) {
     def minhashCalibration(corpusDir: String): DataFrame =
       SparkEntryQueries("q_minhash_calibration", corpusDir)
 
+    /** Estimate-vs-exact agreement (tp/fp/fn, precision/recall) at each
+      * candidate dedup threshold — the table that picks the cut.
+      */
+    def minhashSweep(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_minhash_sweep", corpusDir)
+
+    /** Recall@3 of the trained-IVF single-cell search vs exact. */
+    def ivfRecall(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_ivf_recall", corpusDir)
+
     /** Strided token-window chunks with rolling hashes (RAG prep). */
     def docChunks(corpusDir: String): DataFrame =
       SparkEntryQueries("q_doc_chunks", corpusDir)

@@ -274,6 +274,89 @@ object Dedup {
        |$rounds"""
   }
 
+  /** DuckDB CTE chain ending in `cal(a_id, b_id, n_eq, est_jaccard,
+    * jaccard)` — banded-MinHash candidate pairs with both the
+    * 16-component estimate and the exact shingle-set Jaccard, shared by
+    * q_minhash_calibration and q_minhash_sweep.
+    */
+  private[operators] val calibrationDuck: String = {
+    val mh = minhashExprs.map { case (j, _, duck) => f"$duck AS mh$j%02d" }
+      .mkString(",\n    ")
+    val bands = (0 until 4).map { g =>
+      val ks = (4 * g until 4 * g + 4).map(j => f"mh$j%02d").mkString(", ")
+      s"concat_ws(',', $ks) AS bk$g"
+    }.mkString(",\n    ")
+    val mhArr = (0 until 16).map(j => f"mh$j%02d").mkString("[", ", ", "]")
+    val orJoin = (0 until 4).map(g => s"a.bk$g = b.bk$g").mkString(" OR ")
+    s"""$shingledDuck,
+       |m AS (SELECT doc_id, hs,
+       |    $mh
+       |  FROM h WHERE len(hs) > 0),
+       |sig AS (SELECT doc_id, hs, $mhArr AS mharr,
+       |    $bands
+       |  FROM m),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($orJoin)),
+       |sc AS (SELECT c.a_id, c.b_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 16),
+       |      i -> CASE WHEN x.mharr[i] = y.mharr[i] THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS n_eq,
+       |    len(list_intersect(x.hs, y.hs)) AS i,
+       |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
+       |  FROM cand c JOIN sig x ON c.a_id = x.doc_id
+       |              JOIN sig y ON c.b_id = y.doc_id),
+       |cal AS (SELECT a_id, b_id, n_eq, n_eq / 16.0 AS est_jaccard,
+       |    i::DOUBLE / u AS jaccard
+       |  FROM sc WHERE u > 0)""".stripMargin
+  }
+
+  /** Spark: banded-MinHash candidate pairs with estimate + exact Jaccard
+    * `(a_id, b_id, n_eq, est_jaccard, jaccard)` — the shared frame under
+    * q_minhash_calibration and q_minhash_sweep. Ids-only through the
+    * band-bucket pair shuffle; shingle sets and signatures join back per
+    * side.
+    */
+  private[graft] def calibrationPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val base = shingled(s, d).where(size(col("hs")) > 0)
+    val sig = base.select(
+      col("doc_id") +: col("hs") +:
+        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+      .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
+    val withBands = sig.withColumn("bands", array(
+      (0 until 4).map { g =>
+        struct(lit(g).as("g"),
+          concat_ws(",",
+            (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
+      }: _*))
+    val exploded = withBands
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
+      .repartition(col("g"), col("k"))
+    val cand = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
+      .join(exploded.select(col("doc_id").as("b_id"), col("g"), col("k")),
+        Seq("g", "k"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val side = sig.select(col("doc_id"), col("hs"), col("mharr"))
+    val i = size(array_intersect(col("a_hs"), col("b_hs")))
+    val u = size(col("a_hs")) + size(col("b_hs")) - i
+    cand
+      .join(side.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+        col("mharr").as("a_mh")), Seq("a_id"))
+      .join(side.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+        col("mharr").as("b_mh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> " +
+          "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)")
+          .as("n_eq"),
+        (i.cast("double") / u).as("jaccard"), u.as("u"))
+      .where(col("u") > 0)
+      .select(col("a_id"), col("b_id"), col("n_eq"),
+        (col("n_eq") / lit(16.0)).as("est_jaccard"), col("jaccard"))
+  }
+
   /** DuckDB CTE chain ending in `pairs(a_id, b_id, jaccard)` — the oracle
     * half of [[ngramPairs]], shared by q_dedup_ngram and q_dedup_cluster.
     */
@@ -622,77 +705,56 @@ object Dedup {
     // banded equi-join (ids only through the pair shuffle); signatures
     // and shingle sets join back per side. No threshold filter — the
     // calibration needs the below-cut candidates too.
-    Q("q_minhash_calibration", {
-      val mh = minhashExprs.map { case (j, _, duck) => f"$duck AS mh$j%02d" }
-        .mkString(",\n    ")
-      val bands = (0 until 4).map { g =>
-        val ks = (4 * g until 4 * g + 4).map(j => f"mh$j%02d").mkString(", ")
-        s"concat_ws(',', $ks) AS bk$g"
-      }.mkString(",\n    ")
-      val mhArr = (0 until 16).map(j => f"mh$j%02d").mkString("[", ", ", "]")
-      val orJoin = (0 until 4).map(g => s"a.bk$g = b.bk$g").mkString(" OR ")
-      s"""WITH $shingledDuck,
-         |m AS (SELECT doc_id, hs,
-         |    $mh
-         |  FROM h WHERE len(hs) > 0),
-         |sig AS (SELECT doc_id, hs, $mhArr AS mharr,
-         |    $bands
-         |  FROM m),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($orJoin)),
-         |sc AS (SELECT c.a_id, c.b_id,
-         |    CAST(list_sum(list_transform(generate_series(1, 16),
-         |      i -> CASE WHEN x.mharr[i] = y.mharr[i] THEN 1 ELSE 0 END))
-         |      AS BIGINT) AS n_eq,
-         |    len(list_intersect(x.hs, y.hs)) AS i,
-         |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
-         |  FROM cand c JOIN sig x ON c.a_id = x.doc_id
-         |              JOIN sig y ON c.b_id = y.doc_id)
-         |SELECT a_id, b_id, n_eq, n_eq / 16.0 AS est_jaccard,
-         |  i::DOUBLE / u AS jaccard,
-         |  abs(n_eq / 16.0 - i::DOUBLE / u) AS abs_err
-         |FROM sc WHERE u > 0
-         |ORDER BY a_id, b_id""".stripMargin
-    }) { (s, d) =>
-      val base = shingled(s, d).where(size(col("hs")) > 0)
-      val sig = base.select(
-        col("doc_id") +: col("hs") +:
-          minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
-        .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
-      val withBands = sig.withColumn("bands", array(
-        (0 until 4).map { g =>
-          struct(lit(g).as("g"),
-            concat_ws(",",
-              (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
-        }: _*))
-      val exploded = withBands
-        .select(col("doc_id"), explode(col("bands")).as("band"))
-        .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
-        .repartition(col("g"), col("k"))
-      val cand = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
-        .join(exploded.select(col("doc_id").as("b_id"), col("g"), col("k")),
-          Seq("g", "k"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-      val side = sig.select(col("doc_id"), col("hs"), col("mharr"))
-      val i = size(array_intersect(col("a_hs"), col("b_hs")))
-      val u = size(col("a_hs")) + size(col("b_hs")) - i
-      cand
-        .join(side.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
-          col("mharr").as("a_mh")), Seq("a_id"))
-        .join(side.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
-          col("mharr").as("b_mh")), Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> " +
-            "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)")
-            .as("n_eq"),
-          (i.cast("double") / u).as("jaccard"), u.as("u"))
-        .where(col("u") > 0)
-        .select(col("a_id"), col("b_id"), col("n_eq"),
-          (col("n_eq") / lit(16.0)).as("est_jaccard"), col("jaccard"),
-          abs(col("n_eq") / lit(16.0) - col("jaccard")).as("abs_err"))
+    Q("q_minhash_calibration",
+      s"""WITH $calibrationDuck
+         |SELECT a_id, b_id, n_eq, est_jaccard, jaccard,
+         |  abs(est_jaccard - jaccard) AS abs_err
+         |FROM cal ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      calibrationPairs(s, d)
+        .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+        .select("a_id", "b_id", "n_eq", "est_jaccard", "jaccard", "abs_err")
         .orderBy("a_id", "b_id")
+    },
+
+    // THRESHOLD SWEEP over the calibration pairs: at each candidate
+    // dedup threshold, how often does the 16-component estimate agree
+    // with the exact Jaccard about which side of the cut a pair falls
+    // on? (tp/fp/fn + precision/recall per threshold — the table that
+    // picks the production threshold AND tells you whether 16
+    // components suffice near it.) The thresholds explode map-side onto
+    // the calibration frame (never a join); every comparison is between
+    // bit-identical doubles (n_eq/16 and i/u are the same integer
+    // divisions in both engines), so the counts are exact.
+    Q("q_minhash_sweep",
+      s"""WITH $calibrationDuck,
+         |th AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |    CAST(0.7 AS DOUBLE)]) AS t)
+         |SELECT t, tp, fp, fn,
+         |  round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS prec,
+         |  round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS rec
+         |FROM (
+         |  SELECT t,
+         |    count(CASE WHEN est_jaccard >= t AND jaccard >= t THEN 1 END) AS tp,
+         |    count(CASE WHEN est_jaccard >= t AND jaccard < t THEN 1 END) AS fp,
+         |    count(CASE WHEN est_jaccard < t AND jaccard >= t THEN 1 END) AS fn
+         |  FROM cal CROSS JOIN th GROUP BY 1) g
+         |ORDER BY t""".stripMargin) { (s, d) =>
+      val swept = calibrationPairs(s, d)
+        .withColumn("t", explode(array(lit(0.3), lit(0.5), lit(0.7))))
+        .groupBy("t")
+        .agg(
+          count(when(col("est_jaccard") >= col("t") &&
+            col("jaccard") >= col("t"), 1)).as("tp"),
+          count(when(col("est_jaccard") >= col("t") &&
+            col("jaccard") < col("t"), 1)).as("fp"),
+          count(when(col("est_jaccard") < col("t") &&
+            col("jaccard") >= col("t"), 1)).as("fn"))
+      swept.select(col("t"), col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0)), 6).as("prec"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fn"), lit(0)), 6).as("rec"))
+        .orderBy("t")
     },
 
     // INCREMENTAL dedup: drop each NEW document (odd doc_id as the batch

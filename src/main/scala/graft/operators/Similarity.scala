@@ -202,6 +202,47 @@ object Similarity {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
       |  FROM bsc)""".stripMargin
 
+  /** DuckDB CTE chain continuing [[kmeansDuck]]'s `a2` to
+    * `tr(q_id, nn_id, cosine, rnk)` — the trained-cell pruned ranking,
+    * shared by q_ann_ivf_trained and q_ivf_recall.
+    */
+  private[operators] val ivfTopDuck: String =
+    """n8t AS (SELECT vec_id, qv, cid,
+      |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+      |  FROM a2),
+      |qt AS (SELECT vec_id AS q_id, cid, qv AS qa, qn AS qna
+      |  FROM n8t WHERE vec_id < 10),
+      |tsc AS (SELECT qt.q_id, c.vec_id AS nn_id,
+      |    list_sum(list_transform(qt.qa, (x,i) -> x * c.qv[i]))::DOUBLE
+      |      / (qt.qna * c.qn) AS cosine
+      |  FROM qt JOIN n8t c ON c.cid = qt.cid AND c.vec_id <> qt.q_id),
+      |tr AS (SELECT q_id, nn_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+      |  FROM tsc)""".stripMargin
+
+  /** Spark: trained-cell pruned top-3 `(q_id, rnk, nn_id, cosine)` —
+    * shared by q_ann_ivf_trained and q_ivf_recall.
+    */
+  private[graft] def ivfTrainedTop3(s: SparkSession, d: String): DataFrame = {
+    val n8t = kmeansAssign(s, d)
+      .withColumn("qn",
+        sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
+    val q = n8t.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cid"),
+        col("qv").as("qa"), col("qn").as("qna"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
+    n8t.select(col("vec_id").as("nn_id"), col("cid"), col("qv"), col("qn"))
+      .join(broadcast(q), Seq("cid"))
+      .where(col("nn_id") =!= col("q_id"))
+      .select(col("q_id"), col("nn_id"),
+        (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
+          (col("qna") * col("qn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select("q_id", "rnk", "nn_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Ideal DCG@3 — identical expression text in both dialects so the
     * constant is bit-identical.
     */
@@ -466,37 +507,39 @@ object Similarity {
     // written silver index.
     Q("q_ann_ivf_trained",
       s"""WITH $kmeansDuck,
-         |n8t AS (SELECT vec_id, qv, cid,
+         |$ivfTopDuck
+         |SELECT q_id, rnk, nn_id, cosine FROM tr WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) => ivfTrainedTop3(s, d) },
+
+    // RECALL@3 of the trained-IVF pruned search vs the exact ranking —
+    // the nprobe=1 quality number: how much the single-cell restriction
+    // costs. Same bit-exact integer-cosine discipline as q_ann_recall,
+    // so the metric is pure integer arithmetic. Read next to
+    // q_cluster_purity: low purity cells and low IVF recall are the same
+    // disease (a coarse quantizer that splits true neighbourhoods).
+    Q("q_ivf_recall",
+      s"""WITH $kmeansDuck,
+         |n8 AS (SELECT vec_id, qv,
          |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
-         |  FROM a2),
-         |q AS (SELECT vec_id AS q_id, cid, qv AS qa, qn AS qna
-         |  FROM n8t WHERE vec_id < 10),
-         |sc AS (SELECT q.q_id, c.vec_id AS nn_id,
-         |    list_sum(list_transform(q.qa, (x,i) -> x * c.qv[i]))::DOUBLE
-         |      / (q.qna * c.qn) AS cosine
-         |  FROM q JOIN n8t c ON c.cid = q.cid AND c.vec_id <> q.q_id),
-         |r AS (SELECT q_id, nn_id, cosine,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
-         |  FROM sc)
-         |SELECT q_id, rnk, nn_id, cosine FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val n8t = kmeansAssign(s, d)
-        .withColumn("qn",
-          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
-      val q = n8t.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("cid"),
-          col("qv").as("qa"), col("qn").as("qna"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("nn_id"))
-      n8t.select(col("vec_id").as("nn_id"), col("cid"), col("qv"), col("qn"))
-        .join(broadcast(q), Seq("cid"))
-        .where(col("nn_id") =!= col("q_id"))
-        .select(col("q_id"), col("nn_id"),
-          (ArrayOps.dotLong(col("qa"), col("qv")).cast("double") /
-            (col("qna") * col("qn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select("q_id", "rnk", "nn_id", "cosine")
-        .orderBy("q_id", "rnk")
+         |  FROM q8),
+         |$bruteTopDuck,
+         |$ivfTopDuck
+         |SELECT b.q_id, count(t.nn_id) AS n_hits,
+         |  round(CAST(count(t.nn_id) AS DOUBLE) / 3, 6) AS recall
+         |FROM (SELECT q_id, nn_id FROM br WHERE rnk <= 3) b
+         |LEFT JOIN (SELECT q_id, nn_id FROM tr WHERE rnk <= 3) t
+         |  ON t.q_id = b.q_id AND t.nn_id = b.nn_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val b3 = quantTop3(s, d).select("q_id", "nn_id")
+      val t3 = ivfTrainedTop3(s, d)
+        .select(col("q_id").as("tq"), col("nn_id").as("t_nn"))
+      b3.join(broadcast(t3),
+          col("q_id") === col("tq") && col("nn_id") === col("t_nn"),
+          "left_outer")
+        .groupBy("q_id")
+        .agg(count(col("t_nn")).as("n_hits"),
+          round(count(col("t_nn")).cast("double") / 3, 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // IVF-style pruned search: candidates restricted to the query's bucket

@@ -239,6 +239,8 @@ class ApiSpec extends SparkSpec {
       g.pipeline.annRecall(sfDir) -> "q_ann_recall",
       g.pipeline.annNdcg(sfDir) -> "q_ann_ndcg",
       g.pipeline.clusterPurity(sfDir) -> "q_cluster_purity",
+      g.pipeline.minhashSweep(sfDir) -> "q_minhash_sweep",
+      g.pipeline.ivfRecall(sfDir) -> "q_ivf_recall",
       g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>

@@ -21,6 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_rerank", // same broadcast ≤10-row query set (coarse stage)
     "q_ann_recall", // same broadcast ≤10-row query set (ground-truth stage)
     "q_ann_ndcg", // same broadcast ≤10-row query set (graded eval)
+    "q_ivf_recall", // same broadcast ≤10-row query set (IVF eval)
+    "q_cluster_purity", // 4-row centroid cross join inside kmeansAssign
     "q_label_scatter", // broadcast label-count-bounded centroid rows (4)
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
     "q_dedup_ngram_fcapped", // 1-row corpus size N onto the shingle-df frame
