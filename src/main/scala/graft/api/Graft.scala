@@ -635,6 +635,14 @@ final class Graft(val spark: SparkSession, root: String) {
     def ivfRecall(corpusDir: String): DataFrame =
       SparkEntryQueries("q_ivf_recall", corpusDir)
 
+    /** Per-document new-content fraction (first-seen shingle share). */
+    def novelty(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_novelty", corpusDir)
+
+    /** Per-source duplication rate (exact + near dup share). */
+    def sourceDupRate(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_source_dup_rate", corpusDir)
+
     /** Strided token-window chunks with rolling hashes (RAG prep). */
     def docChunks(corpusDir: String): DataFrame =
       SparkEntryQueries("q_doc_chunks", corpusDir)

@@ -54,40 +54,70 @@ object Curation {
           .as("status"))
   }
 
+  /** DuckDB CTE chain ending in `st(doc_id, status)` — the oracle half
+    * of [[statuses]], shared by q_curation_report and
+    * q_source_dup_rate. Requires WITH RECURSIVE (the CC fixpoint).
+    */
+  private val statusDuck: String =
+    s"""${Dedup.ngramPairsDuck},
+       |${Dedup.ccDuck},
+       |noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+       |keepers AS (SELECT text, min(doc_id) AS keep_id
+       |  FROM documents GROUP BY text),
+       |exactdup AS (SELECT d.doc_id FROM documents d
+       |  JOIN keepers k ON d.text = k.text WHERE d.doc_id <> k.keep_id),
+       |${TextOps.ruleReasonDuck},
+       |bench AS (SELECT doc_id AS bench_id, hsh FROM e WHERE doc_id < 10),
+       |train AS (SELECT doc_id, hsh FROM e WHERE doc_id >= 10),
+       |contam AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT t.doc_id, bn.bench_id, count(*) AS n_shared
+       |    FROM train t JOIN bench bn ON t.hsh = bn.hsh
+       |    GROUP BY 1, 2) o WHERE n_shared >= 3),
+       |st AS (SELECT d.doc_id,
+       |    CASE
+       |      WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+       |      WHEN nc.doc_id IS NOT NULL THEN 'near_dup'
+       |      WHEN r.rule_reason <> 'kept' THEN r.rule_reason
+       |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |      ELSE 'kept' END AS status
+       |  FROM documents d
+       |  LEFT JOIN exactdup ed ON d.doc_id = ed.doc_id
+       |  LEFT JOIN noncanon nc ON d.doc_id = nc.doc_id
+       |  JOIN rr r ON d.doc_id = r.doc_id
+       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id)""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q("q_curation_report",
-      s"""WITH RECURSIVE ${Dedup.ngramPairsDuck},
-         |${Dedup.ccDuck},
-         |noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
-         |keepers AS (SELECT text, min(doc_id) AS keep_id
-         |  FROM documents GROUP BY text),
-         |exactdup AS (SELECT d.doc_id FROM documents d
-         |  JOIN keepers k ON d.text = k.text WHERE d.doc_id <> k.keep_id),
-         |${TextOps.ruleReasonDuck},
-         |bench AS (SELECT doc_id AS bench_id, hsh FROM e WHERE doc_id < 10),
-         |train AS (SELECT doc_id, hsh FROM e WHERE doc_id >= 10),
-         |contam AS (SELECT DISTINCT doc_id FROM (
-         |    SELECT t.doc_id, bn.bench_id, count(*) AS n_shared
-         |    FROM train t JOIN bench bn ON t.hsh = bn.hsh
-         |    GROUP BY 1, 2) o WHERE n_shared >= 3),
-         |st AS (SELECT d.doc_id,
-         |    CASE
-         |      WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
-         |      WHEN nc.doc_id IS NOT NULL THEN 'near_dup'
-         |      WHEN r.rule_reason <> 'kept' THEN r.rule_reason
-         |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-         |      ELSE 'kept' END AS status
-         |  FROM documents d
-         |  LEFT JOIN exactdup ed ON d.doc_id = ed.doc_id
-         |  LEFT JOIN noncanon nc ON d.doc_id = nc.doc_id
-         |  JOIN rr r ON d.doc_id = r.doc_id
-         |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id)
+      s"""WITH RECURSIVE $statusDuck
          |SELECT status, count(*) AS n_docs
          |FROM st GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       statuses(s, d)
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("status")
+    },
+
+    // PER-SOURCE DUPLICATION RATE: the crawl-ops dashboard number — which
+    // sources are feeding the corpus copies. Same status chain as the
+    // curation report, rolled up by source with the dup share (exact +
+    // near) as the headline ratio; a source whose dup_rate climbs
+    // release-over-release is re-crawling itself.
+    Q("q_source_dup_rate",
+      s"""WITH RECURSIVE $statusDuck
+         |SELECT d.source, count(*) AS n_docs,
+         |  count(CASE WHEN st.status IN ('exact_dup', 'near_dup')
+         |    THEN 1 END) AS n_dup,
+         |  round(CAST(count(CASE WHEN st.status IN ('exact_dup', 'near_dup')
+         |    THEN 1 END) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM st JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dup = count(when(col("status").isin("exact_dup", "near_dup"), 1))
+      statuses(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), dup.as("n_dup"),
+          round(dup.cast("double") / count(lit(1)), 6).as("dup_rate"))
+        .orderBy("source")
     },
 
     // Sequence packing — the concat-and-chunk step that turns curated

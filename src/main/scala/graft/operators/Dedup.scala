@@ -954,6 +954,34 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // CONTENT NOVELTY: per document, the fraction of its distinct
+    // shingles whose FIRST occurrence (min doc_id = corpus order here;
+    // ingestion time in production) is this document — the "how much new
+    // content does this doc contribute" score curation pipelines use to
+    // rank near-threshold survivors. Two passes over the shared postings
+    // frame: one groupBy(hsh) for the first-occurrence map, one equi-join
+    // back + groupBy(doc). Integer counts; only the final ratio is float.
+    Q("q_novelty",
+      s"""WITH $shingledDuck,
+         |ed AS (SELECT DISTINCT doc_id, unnest(hs) AS hsh
+         |  FROM h WHERE len(hs) > 0),
+         |f AS (SELECT hsh, min(doc_id) AS first_doc FROM ed GROUP BY 1)
+         |SELECT ed.doc_id, count(*) AS n_shingles,
+         |  count(CASE WHEN f.first_doc = ed.doc_id THEN 1 END) AS n_novel,
+         |  round(CAST(count(CASE WHEN f.first_doc = ed.doc_id THEN 1 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM ed JOIN f USING (hsh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ed = postings(s, d).distinct()
+      val first = ed.groupBy("hsh").agg(min("doc_id").as("first_doc"))
+      val novel = count(when(col("first_doc") === col("doc_id"), 1))
+      ed.join(first, Seq("hsh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), novel.as("n_novel"),
+          round(novel.cast("double") / count(lit(1)), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // GRAPH CENTRALITY over the near-dup graph: 6 fixed-point PageRank
     // rounds (damping 85/100) on the same undirected pair edges the
     // cluster resolution uses. The curation read: a document whose

@@ -241,6 +241,8 @@ class ApiSpec extends SparkSpec {
       g.pipeline.clusterPurity(sfDir) -> "q_cluster_purity",
       g.pipeline.minhashSweep(sfDir) -> "q_minhash_sweep",
       g.pipeline.ivfRecall(sfDir) -> "q_ivf_recall",
+      g.pipeline.novelty(sfDir) -> "q_novelty",
+      g.pipeline.sourceDupRate(sfDir) -> "q_source_dup_rate",
       g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>
