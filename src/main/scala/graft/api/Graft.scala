@@ -495,6 +495,14 @@ final class Graft(val spark: SparkSession, root: String) {
       */
     def attribution(dir: String): DataFrame =
       graft.SparkEntry.queries("q_attribution")(spark, dir)
+
+    /** Histogram of users by number of distinct active days. */
+    def activeDays(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_active_days")(spark, dir)
+
+    /** Weekly churn: actives with no activity the following week. */
+    def churnRate(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_churn_rate")(spark, dir)
   }
 
   object pipeline {

@@ -1232,6 +1232,26 @@ object Aggregates {
         .orderBy("user_id", "event_id")
     },
 
+    // ENGAGEMENT DISTRIBUTION: how many users were active on exactly N
+    // distinct days — the histogram a growth dashboard draws next to
+    // DAU/WAU. Two entity-bounded aggregations (per-user distinct days,
+    // then the day-count histogram); days are integer epoch buckets like
+    // the churn query, no calendar surface.
+    Q("q_active_days",
+      """WITH ad AS (SELECT user_id,
+        |    count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+        |  FROM events GROUP BY 1)
+        |SELECT n_days, count(*) AS n_users
+        |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day_idx"))
+        .groupBy("user_id")
+        .agg(countDistinct("day_idx").as("n_days"))
+        .groupBy("n_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("n_days")
+    },
+
     // WEEKLY CHURN: actives in week w who have no activity in week w+1.
     // Weeks are integer epoch buckets (floor-div by 604800 s — exact in
     // both engines, no calendar/timezone surface). The (user, week)

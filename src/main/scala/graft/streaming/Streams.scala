@@ -88,6 +88,27 @@ object Streams {
         col("window.end").as("window_end"),
         col("n_events"), col("total"), col("mean"))
 
+  /** Hopping (sliding) twin of [[windowedLoadStream]]: every event lands
+    * in window/slide overlapping windows — the streaming form of
+    * q_hopping_load. Same watermark discipline; the hop factor
+    * multiplies state rows per key, so keep window/slide small (the
+    * batch query's comment carries the same warning for the shuffle).
+    */
+  def hoppingLoadStream(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, window: String = "30 minutes",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        org.apache.spark.sql.functions.window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol)).as("total"),
+        avg(col(valCol)).as("mean"))
+      .select(col(keyCol),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("total"), col("mean"))
+
   /** Stream → silver upsert sink: each micro-batch lands through the SAME
     * idempotent partition-overwrite path batch ingest uses
     * (SilverWriter.upsertByPartition), so a replayed micro-batch (restart

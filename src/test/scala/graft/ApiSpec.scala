@@ -236,6 +236,8 @@ class ApiSpec extends SparkSpec {
       g.events.newVsReturning(sfDir) -> "q_new_vs_returning",
       g.events.percentiles(sfDir) -> "q_percentiles",
       g.events.attribution(sfDir) -> "q_attribution",
+      g.events.activeDays(sfDir) -> "q_active_days",
+      g.events.churnRate(sfDir) -> "q_churn_rate",
       g.pipeline.annRecall(sfDir) -> "q_ann_recall",
       g.pipeline.annNdcg(sfDir) -> "q_ann_ndcg",
       g.pipeline.clusterPurity(sfDir) -> "q_cluster_purity",

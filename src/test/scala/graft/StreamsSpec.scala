@@ -97,6 +97,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping stream: each event lands in exactly window/slide windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val agg = Streams.hoppingLoadStream(
+      mem.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", window = "20 seconds", slide = "10 seconds",
+      watermark = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("hls")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(5), 4.0), (1L, ts(12), 6.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n_events, total FROM hls ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      // ts(5) → windows starting [-10, 0]; ts(12) → [0, 10]: the shared
+      // [0, 20) window holds both events, the flanks one each
+      assert(rows.map(r => (r._2, r._3)).toSeq ===
+        Seq((1L, 4.0), (2L, 10.0), (1L, 6.0)))
+      // hop factor 2: total window memberships = 2 · n_events
+      assert(rows.map(_._2).sum === 4L)
+    } finally q.stop()
+  }
+
   test("stream upsert sink: re-delivered batch overwrites, never duplicates") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-upsert")
