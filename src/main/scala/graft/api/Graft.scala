@@ -651,6 +651,10 @@ final class Graft(val spark: SparkSession, root: String) {
     def sourceDupRate(corpusDir: String): DataFrame =
       SparkEntryQueries("q_source_dup_rate", corpusDir)
 
+    /** Top distinctive terms per source (TF-IDF, sources as docs). */
+    def tfidfTerms(corpusDir: String): DataFrame =
+      SparkEntryQueries("q_tfidf_terms", corpusDir)
+
     /** Strided token-window chunks with rolling hashes (RAG prep). */
     def docChunks(corpusDir: String): DataFrame =
       SparkEntryQueries("q_doc_chunks", corpusDir)

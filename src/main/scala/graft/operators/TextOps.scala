@@ -1128,6 +1128,48 @@ object TextOps {
           size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
             .as("n_masked"))
         .orderBy("event_id")
+    },
+
+    // DISTINCTIVE TERMS per source (TF-IDF with sources as the document
+    // unit): what vocabulary sets each source apart — the corpus-
+    // exploration report read before weighting a mixture. tf is
+    // map-side-combined token counts per (source, token); idf counts
+    // sources, so universal terms vanish at ln(1) = 0. The tfidf score
+    // rounds to 6 dp BEFORE the per-source ranking (the engine-stable-
+    // cut rule), tiebreak on the token. Every frame after tokenize is
+    // vocabulary-bounded, not row-bounded.
+    Q("q_tfidf_terms",
+      s"""WITH ct AS (SELECT source, unnest(${tokensDuck("text")}) AS tok
+         |  FROM documents),
+         |tf AS (SELECT source, tok, count(*) AS tf FROM ct GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+         |ns AS (SELECT count(DISTINCT source) AS ns FROM documents),
+         |sc AS (SELECT tf.source, tf.tok,
+         |    round(tf.tf * ln(CAST(ns.ns AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df USING (tok), ns),
+         |r AS (SELECT source, tok, tfidf,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY tfidf DESC, tok ASC) AS rnk
+         |  FROM sc)
+         |SELECT source, rnk, tok, tfidf FROM r WHERE rnk <= 3
+         |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val tf = tokenized(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(countDistinct("source").as("df"))
+      val ns = Tables.documents(s, d)
+        .agg(countDistinct("source").as("ns"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("tfidf"), asc("tok"))
+      tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(ns))
+        .select(col("source"), col("tok"),
+          round(col("tf") * expr("ln(CAST(ns AS DOUBLE) / df)"), 6)
+            .as("tfidf"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("source", "rnk", "tok", "tfidf")
+        .orderBy("source", "rnk")
     }
   )
 }

@@ -245,6 +245,7 @@ class ApiSpec extends SparkSpec {
       g.pipeline.ivfRecall(sfDir) -> "q_ivf_recall",
       g.pipeline.novelty(sfDir) -> "q_novelty",
       g.pipeline.sourceDupRate(sfDir) -> "q_source_dup_rate",
+      g.pipeline.tfidfTerms(sfDir) -> "q_tfidf_terms",
       g.pipeline.dupPageRank(sfDir) -> "q_pagerank",
       g.pipeline.annRerank(sfDir) -> "q_ann_rerank")
     pairs.foreach { case (df, name) =>

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_ndcg", // same broadcast ≤10-row query set (graded eval)
     "q_ivf_recall", // same broadcast ≤10-row query set (IVF eval)
     "q_cluster_purity", // 4-row centroid cross join inside kmeansAssign
+    "q_tfidf_terms", // 1-row source-count broadcast onto the tf frame
     "q_label_scatter", // broadcast label-count-bounded centroid rows (4)
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
     "q_dedup_ngram_fcapped", // 1-row corpus size N onto the shingle-df frame
