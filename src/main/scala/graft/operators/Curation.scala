@@ -29,7 +29,17 @@ object Curation {
   /** Per-document curation status — the doc-level view the report
     * aggregates (exposed for the API facade and specs).
     */
-  def statuses(s: SparkSession, d: String): DataFrame = {
+  def statuses(s: SparkSession, d: String): DataFrame =
+    // memoized + persisted per directory: the report, the per-source dup
+    // rate, the kept-corpus facade and the split assignment all consume
+    // the same ~|docs|-row status frame — compute it once (the
+    // trained-once discipline the LM model uses)
+    graft.Caches.getOrElseUpdate(
+      s"curation-status:$d:${graft.Caches.fingerprint(s, d)}",
+      statusesUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def statusesUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val keepers = docs.groupBy("text").agg(min("doc_id").as("keep_id"))
     val exactDup = docs.join(keepers, Seq("text"))

@@ -317,6 +317,16 @@ object Dedup {
     * side.
     */
   private[graft] def calibrationPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    // memoized + persisted: the calibration report and the threshold
+    // sweep read the identical pair frame — the banded-signature build
+    // is the expensive half of both queries
+    graft.Caches.getOrElseUpdate(
+      s"minhash-cal:$d:${graft.Caches.fingerprint(s, d)}",
+      calibrationPairsUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def calibrationPairsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val base = shingled(s, d).where(size(col("hs")) > 0)
     val sig = base.select(
