@@ -503,6 +503,10 @@ final class Graft(val spark: SparkSession, root: String) {
     /** Weekly churn: actives with no activity the following week. */
     def churnRate(dir: String): DataFrame =
       graft.SparkEntry.queries("q_churn_rate")(spark, dir)
+
+    /** Daily new users and the cumulative distinct-user growth curve. */
+    def userGrowth(dir: String): DataFrame =
+      graft.SparkEntry.queries("q_user_growth")(spark, dir)
   }
 
   object pipeline {

@@ -1232,6 +1232,56 @@ object Aggregates {
         .orderBy("user_id", "event_id")
     },
 
+    // TOP-N PER GROUP: the three highest-value orders per market
+    // segment — the classic ranked-slice idiom (row_number over the
+    // group partition, rank on a PRE-ROUNDED key so the cut can't flip
+    // on float ulps, unique-key tiebreak). One shuffle on the group
+    // key; the window never sees more than the group's rows.
+    Q("q_grouped_topk",
+      """SELECT c_mktsegment, rnk, o_orderkey, price_v FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    round(o_totalprice, 6) AS price_v,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY round(o_totalprice, 6) DESC, o_orderkey ASC) AS rnk
+        |  FROM orders JOIN customer ON c_custkey = o_custkey) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin) { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(round(col("o_totalprice"), 6).desc, col("o_orderkey").asc)
+      joined
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 6).as("price_v"))
+        .orderBy("c_mktsegment", "rnk")
+    },
+
+    // USER GROWTH CURVE: daily new users (first-ever activity) and the
+    // cumulative distinct-user count — the registration-free growth
+    // chart. First-seen day is one entity-bounded aggregate; the
+    // cumulative sum runs over the |days|-row frame, so the global
+    // window is domain-bounded, not row-bounded.
+    Q("q_user_growth",
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_ns(ts) // 86400000000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day_idx, count(*) AS n_new
+        |  FROM f GROUP BY 1)
+        |SELECT day_idx, n_new,
+        |  sum(n_new) OVER (ORDER BY day_idx) AS cum_users
+        |FROM d ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val f = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy("user_id").agg(min("day").as("day_idx"))
+        .groupBy("day_idx").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("day_idx")
+    },
+
     // ENGAGEMENT DISTRIBUTION: how many users were active on exactly N
     // distinct days — the histogram a growth dashboard draws next to
     // DAU/WAU. Two entity-bounded aggregations (per-user distinct days,

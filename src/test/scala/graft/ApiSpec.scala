@@ -238,6 +238,7 @@ class ApiSpec extends SparkSpec {
       g.events.attribution(sfDir) -> "q_attribution",
       g.events.activeDays(sfDir) -> "q_active_days",
       g.events.churnRate(sfDir) -> "q_churn_rate",
+      g.events.userGrowth(sfDir) -> "q_user_growth",
       g.pipeline.annRecall(sfDir) -> "q_ann_recall",
       g.pipeline.annNdcg(sfDir) -> "q_ann_ndcg",
       g.pipeline.clusterPurity(sfDir) -> "q_cluster_purity",
