@@ -55,27 +55,33 @@ object Bench {
     }
     // Double.toString is locale-independent (an f"%.3f" would not be).
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val ok = results.collect { case (_, v) if v >= 0 => v }
-    val total = if (ok.nonEmpty) ok.sum else 0.0
+    // Failed queries are reported by NAME and excluded from every map and
+    // total, so "value", "n_run" and the per-query vectors always describe
+    // the same query set (a -1.0 sentinel inside the map made cross-round
+    // totals silently incomparable).
+    val okResults = results.filter(_._2 >= 0)
+    val failed = results.collect { case (name, v) if v < 0 => name }
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = okResults.map(_._2).sum
     // Full-precision named map -> repo file. Full-suite runs only — a
     // focused SPARK_GRAFT_ONLY iteration must not clobber the last
     // complete map. Best-effort: bench must still report on a read-only
     // working directory.
     if (only.isEmpty) {
-      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val fullQs = okResults.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$fullQs,"sf":"$sfDir"}"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}")
       }
     }
-    val slowest = results.sortBy(-_._2).take(12)
+    val slowest = okResults.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val sortedVec = results.sortBy(_._1)
+    val sortedVec = okResults.sortBy(_._1)
       .map { case (_, v) => f3(v) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"warm","n":${results.size},"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${results.size} times in ascending query-name order, 3dp; full named map in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = the ${okResults.size} succeeded times in ascending query-name order, 3dp; full named map in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,16 +16,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's Parquet
-    * reader only surfaces as a nanosecond long
-    * (spark.sql.legacy.parquet.nanosAsLong=true — set by every session in
-    * this repo). Reconstruct a proper TimestampType at micro precision with
-    * integer division (a double division would lose precision above 2^53 ns).
-    * All engine logic downstream is second-granularity, matching the DuckDB
-    * oracle's epoch_ms(ts)//1000.
+  /** Normalize `events.ts` to session-zoned TimestampType whatever physical
+    * type the parquet writer used. Current testdata stores
+    * Timestamp(isAdjustedToUTC=false, MICROS), which Spark 4 surfaces as
+    * TIMESTAMP_NTZ: every session here pins spark.sql.session.timeZone=UTC,
+    * so `cast("timestamp")` maps the wall-clock value to the identical
+    * instant (exact, no precision change). Older generations stored
+    * TIMESTAMP(NANOS) readable only as a nanosecond long; that branch
+    * reconstructs micros with integer division (a double division would lose
+    * precision above 2^53 ns). Downstream engine logic is second-granularity,
+    * matching the DuckDB oracle's epoch_ms(ts)//1000.
     */
   private def withNanoTs(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.col(tsCol).cast("timestamp"))
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(tsCol,
           org.apache.spark.sql.functions.timestamp_micros(
@@ -44,22 +50,27 @@ object Tables {
     withNanoTs(table(s, d, "events"), "ts")
 
   /** events bounded to [from, until) with the predicate applied on the RAW
-    * nano long BEFORE the timestamp reconstruction, so it pushes into the
-    * parquet scan (a filter on the reconstructed column is per-row compute
-    * — measured: only IsNotNull reached the scan; at 100 TB that is a full
+    * stored column BEFORE the timestamp normalization, so it pushes into the
+    * parquet scan (a filter on a rewritten column is per-row compute —
+    * measured: only IsNotNull reached the scan; at 100 TB that is a full
     * stream-table scan per time-range query). Bounds are second-granularity
-    * 'yyyy-MM-dd HH:mm:ss' UTC strings; under the floor division of the
-    * conversion, `nanos >= sec·10⁹` / `nanos < sec·10⁹` is EXACTLY
-    * `ts >= from` / `ts < until` on the converted column.
+    * 'yyyy-MM-dd HH:mm:ss' UTC strings. NTZ storage: compare against a typed
+    * LocalDateTime literal (same NTZ type → pushable, no cast on the column).
+    * Legacy nano-long storage: `nanos >= sec·10⁹` / `< sec·10⁹` is EXACTLY
+    * `ts >= from` / `ts < until` under the floor division of the conversion.
     */
   def eventsInRange(s: SparkSession, d: String, from: String,
       until: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    def nanos(ts: String): Long =
+    import org.apache.spark.sql.functions.{col, lit}
+    def ldt(ts: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    def nanos(ts: String): Long =
+      ldt(ts).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        withNanoTs(raw.where(
+          col("ts") >= lit(ldt(from)) && col("ts") < lit(ldt(until))), "ts")
       case org.apache.spark.sql.types.LongType =>
         withNanoTs(raw.where(
           col("ts") >= nanos(from) && col("ts") < nanos(until)), "ts")
@@ -86,7 +97,6 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

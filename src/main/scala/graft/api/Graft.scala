@@ -282,9 +282,11 @@ final class Graft(val spark: SparkSession, root: String) {
     /** The qualifying long runs with their per-run durability rows, date
       * ascending — the `activities` half of get_durability_trend. ONE
       * distributed plan for the whole window, not a per-id loop.
+      * Default threshold 10.0 km matches the reference
+      * (database/readers/durability.py:221 min_distance_km=10.0).
       */
     def longRuns(startDate: String, endDate: String,
-        minDistanceKm: Double = 15.0): DataFrame = {
+        minDistanceKm: Double = 10.0): DataFrame = {
       val runs = table("activities")
         .where(col("activity_date").between(startDate, endDate) &&
           col("total_distance_km") >= minDistanceKm)
@@ -302,7 +304,7 @@ final class Graft(val spark: SparkSession, root: String) {
       * best/worst ranking.
       */
     def durabilityTrend(startDate: String, endDate: String,
-        minDistanceKm: Double = 15.0): DataFrame =
+        minDistanceKm: Double = 10.0): DataFrame =
       Durability.trend(longRuns(startDate, endDate, minDistanceKm))
   }
 
@@ -346,15 +348,22 @@ final class Graft(val spark: SparkSession, root: String) {
           .select("y", "x1", "x2", "x3"), minN)
 
     /** The per-run `points` block: {date, temp_c, raw_hr, heat_cost,
-      * neutral_hr}, date ascending.
+      * neutral_hr}, date ascending. Mirrors compute_trend's
+      * MIN_FIT_ACTIVITIES gate (heat_adjustment.py:147): below `minN`
+      * complete observations the reference returns insufficient_data and
+      * emits NO points, so this frame is empty. The gate is a broadcast
+      * 1-row count semi-gate, not a driver-side collect.
       */
     def heatCostPoints(startDate: String, endDate: String,
-        refTempC: Double = 15.0): DataFrame = {
+        refTempC: Double = 15.0, minN: Int = 10): DataFrame = {
       val f = withDays(observations(startDate, endDate), refTempC)
+      val gate = f.agg(count(lit(1)).as("n_fit"))
+        .where(col("n_fit") >= minN)
       val betas = graft.operators.Stats.heatBetas(
         graft.operators.Stats.heatStats(f.select("y", "x1", "x2", "x3")))
         .select("b_heat")
-      graft.operators.Stats.heatCost(f, betas)
+      graft.operators.Stats.heatCost(
+          f.crossJoin(broadcast(gate)).drop("n_fit"), betas)
         .select(col("activity_date").as("date"), col("temp_c"),
           col("y").as("raw_hr"), col("heat_cost"), col("neutral_hr"))
         .orderBy("date")

@@ -628,7 +628,7 @@ object Aggregates {
     Q("q_event_transitions",
       """WITH p AS (SELECT user_id, event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS to_type
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
         |  FROM events),
         |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
@@ -656,7 +656,8 @@ object Aggregates {
     // round(·, 6) absorbs nothing here (all ops exact-identical) but
     // keeps the established float-output convention.
     Q("q_ewma",
-      """WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      """WITH l AS (SELECT user_id,
+        |    list(value ORDER BY epoch_ns(ts) // 1000, event_id) AS vs
         |  FROM events GROUP BY 1)
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  round(list_reduce(vs, (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
@@ -1221,7 +1222,8 @@ object Aggregates {
         |  lag(value, 1) OVER w AS lag1,
         |  lag(value, 2) OVER w AS lag2,
         |  value - lag(value, 1) OVER w AS delta
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |FROM events WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000, event_id)
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d)
@@ -1270,7 +1272,7 @@ object Aggregates {
         |d AS (SELECT first_day AS day_idx, count(*) AS n_new
         |  FROM f GROUP BY 1)
         |SELECT day_idx, n_new,
-        |  sum(n_new) OVER (ORDER BY day_idx) AS cum_users
+        |  CAST(sum(n_new) OVER (ORDER BY day_idx) AS BIGINT) AS cum_users
         |FROM d ORDER BY day_idx""".stripMargin) { (s, d) =>
       val f = Tables.events(s, d)
         .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))

@@ -326,14 +326,18 @@ object Curation {
     // 16-row aggregate, not the input.
     Q("q_shard_balance",
       """WITH a AS (SELECT
-        |    ((doc_id * 2654435761) % 1000000007) % 16 AS shard, n_chars
+        |    (((doc_id % 1000000007) * 2654435761) % 1000000007) % 16
+        |      AS shard, n_chars
         |  FROM documents)
-        |SELECT shard, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS frac
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       Tables.documents(s, d)
-        .select(expr("((doc_id * 2654435761) % 1000000007) % 16").as("shard"),
+        .select(expr(
+          "(((doc_id % 1000000007) * 2654435761) % 1000000007) % 16")
+          .as("shard"),
           col("n_chars"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))

@@ -1004,7 +1004,7 @@ object Dedup {
     Q("q_pagerank",
       s"""WITH $ngramPairsDuck,
          |${pageRankDuck(iters = 6, scale = 1000000000000L)}
-         |SELECT r.node AS doc_id, d.deg, r.r AS pr_scaled
+         |SELECT r.node AS doc_id, d.deg, CAST(r.r AS BIGINT) AS pr_scaled
          |FROM r6 r JOIN deg d ON d.u = r.node
          |ORDER BY pr_scaled DESC, doc_id""".stripMargin) { (s, d) =>
       graft.Caches.getOrElseUpdate(

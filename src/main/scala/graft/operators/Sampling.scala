@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Knuth-style multiplicative hash of an integer id — exact int64
-    * arithmetic in both dialects (products stay far below 2^63 for any
-    * realistic id), uniform enough for sampling.
+    * arithmetic in both dialects for ANY int64 id: the id is reduced
+    * mod P BEFORE the multiply (algebraically identical mod P), so the
+    * product is bounded by (P-1)·2654435761 < 2^62 and can never hit
+    * engine-divergent overflow semantics (Spark wraps, DuckDB widens)
+    * at corpus-scale ids. Uniform enough for sampling.
     */
   private val HashP = 1000000007L
   private def sampleHash(idCol: String): String =
-    s"($idCol * 2654435761) % $HashP"
+    s"(($idCol % $HashP) * 2654435761) % $HashP"
 
   /** Per-stratum sample quota. */
   val StratumK = 20

@@ -677,7 +677,7 @@ object Similarity {
          |      ORDER BY cnt DESC, label ASC) AS rn
          |  FROM g),
          |t AS (SELECT cid, sum(cnt) AS n FROM g GROUP BY 1)
-         |SELECT t.cid, t.n, m.maj_label,
+         |SELECT t.cid, CAST(t.n AS BIGINT) AS n, m.maj_label,
          |  round(CAST(m.cnt AS DOUBLE) / t.n, 6) AS purity
          |FROM t JOIN m ON m.cid = t.cid AND m.rn = 1
          |ORDER BY t.cid""".stripMargin) { (s, d) =>

@@ -341,9 +341,12 @@ object Streams {
     * q_attribution: per user, the latest click is ONE (id, micros) pair
     * of state; a purchase arriving within `windowSeconds` of it emits
     * the attribution row immediately (no batch-end join). Events are
-    * processed in (ts, event_id) order inside each micro-batch; clicks
-    * at the same micros overwrite in event-id order, reproducing the
-    * batch side's max-click-id tiebreak. Same cross-batch contract as
+    * processed in (ts, is-purchase, event_id) order inside each
+    * micro-batch: clicks at the same micros overwrite in event-id order,
+    * reproducing the batch side's max-click-id tiebreak, and a click
+    * sharing a purchase's micros sorts BEFORE it (batch matches
+    * `c_us <= p_us`, so a same-instant click IS attributable — event-id
+    * order alone would miss it whenever the click's id is higher). Same cross-batch contract as
     * the transition stream: per-user arrival is ts-monotone across
     * batches (replayable log). Non-click/purchase event types flow
     * through as no-ops, so the raw stream needs no pre-filter.
@@ -360,7 +363,9 @@ object Streams {
             math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           var st = state.getOption.orNull
           val out = Seq.newBuilder[Attribution]
-          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e =>
+              (us(e.ts), if (e.event_type == "purchase") 1 else 0, e.event_id))
+            .foreach { e =>
             e.event_type match {
               case "click" =>
                 st = ClickState(e.event_id, us(e.ts))

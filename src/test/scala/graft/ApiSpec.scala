@@ -256,6 +256,21 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("heat cost points honour the insufficient_data gate; long runs default to 10 km") {
+    // full window: acts 1-12 carry a temperature average -> 12 observations,
+    // above the reference's MIN_FIT_ACTIVITIES=10 -> one point per run
+    assert(g.heat.heatCostPoints("2026-06-01", "2026-06-30").count() === 12)
+    // narrow window: only acts 1-8 -> 8 observations; the reference returns
+    // insufficient_data (no points), so the frame must be empty
+    assert(g.heat.heatCostPoints("2026-06-01", "2026-06-08").count() === 0)
+    // default long-run threshold is the reference's 10.0 km: the 10 km runs
+    // with usable time-series spans (acts 1-3) all qualify; under the old
+    // 15.0 default even the 14 km outlier was excluded
+    val runs = g.durability.longRuns("2026-06-01", "2026-06-30")
+    assert(runs.select("activity_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("find similar workouts: band, score, interpretation") {
     val rows = g.comparisons.findSimilarWorkouts(10L, paceTolerance = 0.05,
       distanceTolerance = 0.05).collect()

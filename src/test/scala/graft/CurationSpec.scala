@@ -189,4 +189,23 @@ class CurationSpec extends SparkSpec {
       assert(spent + ranked(nextIdx)._2 > operators.Curation.TokenBudget)
     }
   }
+
+  test("shard hash is exact for adversarial corpus-scale ids (no overflow)") {
+    import spark.implicits._
+    // ids near Long.MaxValue would wrap under a naive id*2654435761 in
+    // Spark while DuckDB widens to int128 — pre-reducing mod P makes the
+    // product bounded, so both engines compute the SAME mathematical
+    // value: verify Spark against exact BigInt arithmetic
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, 4000000000L,
+      9000000000000000000L, 1234567890123456789L, 42L)
+    val p = BigInt(1000000007L)
+    val want = ids.map(id =>
+      (((BigInt(id) mod p) * BigInt(2654435761L)) mod p mod 16).toLong)
+    val got = ids.toDF("doc_id")
+      .select(expr(
+        "(((doc_id % 1000000007) * 2654435761) % 1000000007) % 16")
+        .as("shard"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+  }
 }

@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     "q_vocab_zipf", // 1-row corpus token total onto the top-50 rows
     "q_zone_distribution") // 1-row total
 
+  test("eventsInRange pushes its time bounds into the parquet scan") {
+    // the bounds must hit the RAW stored column (TIMESTAMP_NTZ today) so
+    // the scan prunes row groups — a filter on the normalized column is
+    // per-row compute and at 100 TB a full stream-table scan per query
+    val df = Tables.eventsInRange(spark, sfDir,
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"), s"PushedFilters: $pushed")
+  }
+
   test("no cartesian products; nested-loop joins only in the audited set") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.sparkPlan.toString

@@ -25,7 +25,8 @@ class SamplingSpec extends SparkSpec {
   test("two-phase threshold plan equals the naive full-stratum ranking") {
     val naive = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"))
-      .withColumn("h", expr("(doc_id * 2654435761) % 1000000007"))
+      .withColumn("h",
+        expr("((doc_id % 1000000007) * 2654435761) % 1000000007"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
       .where(col("rnk") <= operators.Sampling.StratumK)

@@ -287,6 +287,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution stream: same-micros click is attributable, batch-style") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Streams.attributionStream(
+      mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+        .as[Streams.AttrEvent])
+      .writeStream.format("memory").queryName("attredge")
+      .outputMode("append").start()
+    try {
+      // click id 9 shares the purchase's exact micros; plain (ts, id)
+      // processing would see the purchase (id 5) first and credit the
+      // stale click id 1 — the batch as-of matches c_us <= p_us, so the
+      // same-instant click must win (last-touch: max micros, then max id)
+      mem.addData((1L, 1L, ts(1), "click"), (1L, 9L, ts(7), "click"),
+        (1L, 5L, ts(7), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id, gap_s FROM attredge")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((5L, 9L, 0L)))
+    } finally q.stop()
+  }
+
   test("personal-record stream: custom state survives micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -43,17 +43,19 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want_rel = con.execute(sql)
-            want_cols = [d[0] for d in want_rel.description]
+            want_rel = con.sql(sql)
+            want_cols = list(want_rel.columns)
+            want_types = {c: str(t) for c, t in zip(want_cols, want_rel.types)}
             want = want_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
             got = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
@@ -61,6 +63,27 @@ def main(sf_dir, out_dir):
             continue
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs oracle {sorted(want_cols)}")
+            n_bad += 1
+            continue
+        # The driver's hash is TYPE-sensitive at the family level: a DuckDB
+        # HUGEINT sum vs a Spark BIGINT hash-mismatches even with identical
+        # values (CORRECTNESS_r06: q_pagerank et al), while ordinary integer
+        # width differences (row_number INTEGER vs BIGINT) hash equal. So
+        # compare type FAMILIES, with HUGEINT deliberately outside the safe
+        # integer family so that class of drift is caught locally.
+        def family(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t  # HUGEINT, DECIMAL(..), VARCHAR, DATE, ... exact
+        type_diffs = [
+            f"{c}: spark {got_types[c]} vs oracle {want_types[c]}"
+            for c in want_cols
+            if family(got_types[c]) != family(want_types[c])]
+        if type_diffs:
+            print(f"FAIL {name}: column types differ: " + "; ".join(type_diffs))
             n_bad += 1
             continue
         # driver sorts columns by name before hashing; emulate by reordering
