@@ -248,9 +248,19 @@ object TextOps {
   /** Full-model bigram LM scores (doc_id, n_bigrams, avg_logp) — the
     * q_text_lm_score result frame, factored out so the curriculum
     * bucketing composes the same plan (same broadcast-model shape, same
-    * ordered-fold float discipline).
+    * ordered-fold float discipline). Memoized + persisted per directory:
+    * the |docs|-row score frame is consumed by q_text_lm_score AND by
+    * q_curriculum, whose distributed-prefix ntile executes its input
+    * three times (range sampling, per-partition counts, final pass) —
+    * without the persist those would each re-run the model serve.
     */
-  private def lmScores(s: SparkSession, d: String): DataFrame = {
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"lm-scores:$d:${graft.Caches.fingerprint(s, d)}",
+      lmScoresUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def lmScoresUncached(s: SparkSession, d: String): DataFrame = {
     val b = bigrams(s, d)
     val c = lmModelC(s, d)
     val u = lmModelU(s, d)
@@ -413,14 +423,15 @@ object TextOps {
     // CURRICULUM BUCKETING: order documents by LM difficulty (the
     // easiest-first curriculum-learning schedule) and report the 5
     // difficulty tiers a data loader would stage — per tier: doc count,
-    // token mass, and the score envelope. The ntile runs over
+    // token mass, and the score envelope. The tier cut is ntile(5) over
     // (avg_logp DESC, doc_id) — avg_logp is already round(·, 6) so the
-    // ordering (and thus the tier cut) is cross-engine deterministic.
-    // The global sort is presentation-tier at this row count (one row per
-    // DOC, not per token); the 100 TB form range-partitions by score and
-    // takes per-partition offsets from a driver prefix over partition
-    // counts — exactly the distributed-prefix-sum shape q_budget_select
-    // already pins.
+    // ordering (and thus the cut) is cross-engine deterministic. The
+    // Spark side computes it WITHOUT a global window: range-partition by
+    // the sort key, per-partition row_number plus a driver prefix over
+    // the ≤|partitions| counts gives the global rank, and ntile's bucket
+    // function is a closed-form expression of (rank, n) — the same
+    // distributed-prefix-sum shape q_budget_select pins, so the plan
+    // scales to any corpus while the oracle keeps the literal ntile.
     Q("q_curriculum",
       s"""WITH $bigramsDuck,
          |$lmScoresDuck,
@@ -435,10 +446,35 @@ object TextOps {
          |SELECT tier, n_docs, total_bigrams, easiest, hardest,
          |  round(list_sum(lps) / len(lps), 6) AS mean_logp
          |FROM agg ORDER BY tier""".stripMargin) { (s, d) =>
-      val tiers = lmScores(s, d)
-        .withColumn("tier", ntile(5).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("avg_logp"), asc("doc_id"))))
+      import org.apache.spark.sql.expressions.Window
+      // pid order = global (avg_logp DESC, doc_id) order by construction
+      val parts = lmScores(s, d)
+        .repartitionByRange(8, desc("avg_logp"), asc("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      // per-partition counts: ≤ #partitions rows — the licensed tiny
+      // driver collect (same pattern as q_budget_select's offsets)
+      val counts = parts.groupBy("pid").agg(count(lit(1)).as("pc"))
+        .orderBy("pid").collect()
+        .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("pc")))
+      val n = counts.map(_._2).sum
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, pc)) =>
+        (pid, acc + pc)
+      }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+        .toSeq
+      val offDf = s.createDataFrame(offsets).toDF("pid", "offset")
+      // ntile(5) in closed form over the global rank rn: the first
+      // n%5 buckets carry ceil(n/5) rows, the rest floor(n/5)
+      val size5 = n / 5
+      val rem = n % 5
+      val cut = rem * (size5 + 1)
+      val wp = Window.partitionBy("pid")
+        .orderBy(desc("avg_logp"), asc("doc_id"))
+      val tiers = parts.join(broadcast(offDf), Seq("pid"))
+        .withColumn("rn", row_number().over(wp) + col("offset"))
+        .withColumn("tier", expr(
+          s"CAST(CASE WHEN rn <= $cut THEN (rn - 1) div ${size5 + 1} + 1 " +
+            s"ELSE $rem + (rn - $cut - 1) div ${math.max(size5, 1L)} + 1 " +
+            "END AS INT)"))
       tiers.groupBy("tier")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bigrams").cast("long").as("total_bigrams"),

@@ -65,6 +65,40 @@ class PlanAuditSpec extends SparkSpec {
       pushed.contains("LessThan(ts"), s"PushedFilters: $pushed")
   }
 
+  /** Queries whose plan legitimately contains an UNPARTITIONED window —
+    * the classic 100 TB killer (all rows to one task), acceptable ONLY
+    * when the frame under the window is provably domain-bounded, never
+    * data-bounded. Every entry names its bound. (q_curriculum used to be
+    * here with a row-bounded ntile; it now uses the distributed
+    * prefix-sum rank, so a regression would fail this test.)
+    */
+  private val allowedGlobalWindow: Set[String] = Set(
+    "q_user_growth", // cumsum over the |days| growth curve (day domain)
+    "q_vocab_growth", // cumsum over exactly 10 decile rows
+    "q_vocab_zipf", // rank over the post-limit top-50 token rows
+    "q_bm25_rank", // row_number over the post-limit top-20 scored docs
+    "q_hybrid_rank", // RRF rank over two post-limit top-20 ranked lists
+    "q_shard_balance", // share-of-total over the 16-row shard aggregate
+    "q_skew_report") // rank over the top-10 key rows + 1-row global stats
+
+  test("unpartitioned windows only over provably domain-bounded frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hasGlobal = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal) Some(name) else None
+    }.toSet
+    val unaudited = offenders -- allowedGlobalWindow
+    assert(unaudited.isEmpty,
+      s"unaudited global window in: $unaudited — prove the frame is " +
+        "domain-bounded (not row-bounded) and extend allowedGlobalWindow")
+    val stale = allowedGlobalWindow -- offenders
+    assert(stale.isEmpty,
+      s"allowedGlobalWindow entries with no global window left: $stale")
+  }
+
   test("no cartesian products; nested-loop joins only in the audited set") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.sparkPlan.toString

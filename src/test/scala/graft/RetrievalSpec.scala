@@ -153,6 +153,23 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("curriculum remainder path: 8 docs tile 2/2/2/1/1 like ntile(5)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    // ntile sizes depend only on n: 8 docs -> the first 8%5=3 tiers get
+    // ceil(8/5)=2 docs, the last two get 1 — exercises the closed-form
+    // rank→tier expression off the divisible-by-5 happy path
+    val d = Files.createTempDirectory("graft-ntile").toString
+    (1 to 8).map(i => (i.toLong, s"w$i a b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val tiers = SparkEntry.queries("q_curriculum")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(tiers.toSeq === Seq((1, 2L), (2, 2L), (3, 2L), (4, 1L), (5, 1L)))
+  }
+
   test("phrase search: adjacency and order are load-bearing, matches count") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, length}
