@@ -99,6 +99,24 @@ class PlanAuditSpec extends SparkSpec {
       s"allowedGlobalWindow entries with no global window left: $stale")
   }
 
+  test("column pruning: payload columns never reach scans that don't need them") {
+    // `text` is the corpus's widest column and `props` the events blob —
+    // a scan that reads them for a metadata-only query is a full-payload
+    // read at 100 TB. Representative metadata-only queries per table:
+    val noText = Seq("q_shard_balance", "q_quantile_trim", "q_source_overlap")
+    val noProps = Seq("q_user_growth", "q_sessionize", "q_event_transitions")
+    def readSchemas(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSeq }.flatten
+    noText.foreach { q =>
+      assert(!readSchemas(q).contains("text"), s"$q scans documents.text")
+    }
+    noProps.foreach { q =>
+      assert(!readSchemas(q).contains("props"), s"$q scans events.props")
+    }
+  }
+
   test("no cartesian products; nested-loop joins only in the audited set") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.sparkPlan.toString
