@@ -139,10 +139,16 @@ object Dedup {
     * MinHash values folded into 4 bands of 4, one output row per (doc,
     * band) — the bucketed layout every banded join in this module keys on.
     */
-  def bandedKeys(base: DataFrame): DataFrame = {
-    val sig = base.select(
+  def bandedKeys(base: DataFrame): DataFrame =
+    bandsFromSig(base.select(
       col("doc_id") +:
-        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*))
+
+  /** Band explosion over a frame that ALREADY carries mh00..mh15 — lets
+    * consumers of the memoized signature frame band without re-running
+    * the 16 array folds.
+    */
+  private def bandsFromSig(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(
       (0 until 4).map { g =>
         struct(lit(g).as("g"),
@@ -150,7 +156,6 @@ object Dedup {
             (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
-  }
 
   /** 16 MinHash values as (sparkExpr, duckExpr) pairs over hash-array col hs. */
   private def minhashExprs: Seq[(Int, String, String)] =
@@ -160,10 +165,39 @@ object Dedup {
         s"list_min(list_transform(hs, x -> (${A(j)}*x + ${B(j)}) % $P))")
     }
 
+  /** (doc_id, hs, mh00..mh15) — the 16-permutation signature frame,
+    * memoized + persisted per directory: the signature dump, the LSH pair
+    * query and the calibration/sweep pair only differ DOWNSTREAM of these
+    * 16 array folds over every shingle set, which are the expensive half
+    * of each. Empty-shingle docs keep null signatures here; pair-shaped
+    * consumers filter them out, the dump keeps them.
+    */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"minhash-sigs:$d:${graft.Caches.fingerprint(s, d)}",
+      shingled(s, d)
+        .select(col("doc_id") +: col("hs") +:
+          minhashExprs.map { case (j, spark, _) =>
+            expr(spark).as(f"mh$j%02d") }: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Spark side of the inverted-index n-gram Jaccard pairs (threshold 0.5)
     * — the q_dedup_ngram plan, shared with the cluster-resolution query.
     */
-  private[operators] def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def ngramPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    // memoized + persisted: SIX consumers (the pair dump, the Jaccard
+    // histogram, the degree distribution, split assignment, and the CC /
+    // PageRank builds) each re-ran the postings self-join otherwise —
+    // the pair frame itself is tiny (bounded by true near-dups), so the
+    // persist costs nothing and saves the quadratic-half of each query
+    graft.Caches.getOrElseUpdate(
+      s"ngram-pairs:$d:${graft.Caches.fingerprint(s, d)}",
+      ngramPairsUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def ngramPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
       .where(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
@@ -328,10 +362,7 @@ object Dedup {
 
   private def calibrationPairsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val base = shingled(s, d).where(size(col("hs")) > 0)
-    val sig = base.select(
-      col("doc_id") +: col("hs") +:
-        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+    val sig = minhashSigs(s, d).where(size(col("hs")) > 0)
       .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
     val withBands = sig.withColumn("bands", array(
       (0 until 4).map { g =>
@@ -604,10 +635,7 @@ object Dedup {
          |  $cols
          |FROM h ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val cols = minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }
-      shingled(s, d)
-        .select(col("doc_id") +: cols: _*)
-        .orderBy("doc_id")
+      minhashSigs(s, d).drop("hs").orderBy("doc_id")
     },
 
     // MinHash-LSH candidate pairs (4 bands x 4 rows), verified by exact
@@ -643,10 +671,7 @@ object Dedup {
       // Exact verify runs on shingle hashes (see q_dedup_ngram perf note);
       // candidate pairs travel id-only, the hash arrays join back after
       // the distinct — payload arrays never go through the pair shuffle.
-      val base = shingled(s, d).where(size(col("hs")) > 0)
-      val sig = base.select(
-        col("doc_id") +: col("hs") +:
-          minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*)
+      val sig = minhashSigs(s, d).where(size(col("hs")) > 0)
       val withBands = sig.withColumn("bands", array(
         (0 until 4).map { g =>
           struct(lit(g).as("g"),
@@ -663,7 +688,7 @@ object Dedup {
         .where(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
         .distinct()
-      val hsOnly = base.select(col("doc_id"), col("hs"))
+      val hsOnly = sig.select(col("doc_id"), col("hs"))
       val i = size(array_intersect(col("a_hs"), col("b_hs")))
       val u = size(col("a_hs")) + size(col("b_hs")) - i
       cand
@@ -813,7 +838,7 @@ object Dedup {
         .join(docs.where(seenIds).select("text").distinct(),
           Seq("text"), "left_semi")
         .select("doc_id")
-      val bandKeys = bandedKeys(shingled(s, d).where(size(col("hs")) > 0))
+      val bandKeys = bandsFromSig(minhashSigs(s, d).where(size(col("hs")) > 0))
       val nearHit = bandKeys.where(newIds)
         .join(bandKeys.where(seenIds).select("g", "k").distinct(),
           Seq("g", "k"), "left_semi")

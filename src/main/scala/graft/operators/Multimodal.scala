@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** (doc_id, chunk_idx, n_units, chunk_hash) — the 64-unit payload
+    * chunking, memoized + persisted: the chunk layout dump and the
+    * chunk-hash dedup both start from this identical map-only explode +
+    * per-chunk hash, which is the substring-heavy half of each.
+    */
+  private def chunkHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHash
+    graft.Caches.getOrElseUpdate(
+      s"mm-chunks:$d:${graft.Caches.fingerprint(s, d)}",
+      Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
+            .as("chunk_idx"))
+        .withColumn("chunk", expr(
+          "substring(text, cast((chunk_idx - 1) * 64 + 1 AS int), 64)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("n_units"),
+          expr(TextHash.polySpark("chunk")).as("chunk_hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Deterministic stand-in for a media decoder (no codecs in-container).
     * Real deployments swap `decode` for an image/audio library call; the
     * signature (bytes -> fixed-length feature vector) and the partition-
@@ -100,17 +124,7 @@ object Multimodal {
          |  WHERE length(text) > 0)
          |ORDER BY doc_id, chunk_idx""".stripMargin
     }) { (s, d) =>
-      import graft.functions.TextHash
-      Tables.documents(s, d)
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
-            .as("chunk_idx"))
-        .withColumn("chunk", expr("substring(text, cast((chunk_idx - 1) * 64 + 1 AS int), 64)"))
-        .select(col("doc_id"), col("chunk_idx"),
-          length(col("chunk")).cast("long").as("n_units"),
-          expr(TextHash.polySpark("chunk")).as("chunk_hash"))
-        .orderBy("doc_id", "chunk_idx")
+      chunkHashes(s, d).orderBy("doc_id", "chunk_idx")
     },
 
     // Chunk-hash payload dedup: binary blobs sharing >= 3 distinct
@@ -138,15 +152,8 @@ object Multimodal {
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      import graft.functions.TextHash
-      val ch = Tables.documents(s, d)
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
-            .as("i"))
-        .withColumn("chunk",
-          expr("substring(text, cast((i - 1) * 64 + 1 AS int), 64)"))
-        .select(col("doc_id"), expr(TextHash.polySpark("chunk")).as("h"))
+      val ch = chunkHashes(s, d)
+        .select(col("doc_id"), col("chunk_hash").as("h"))
         .distinct()
       ch.select(col("doc_id").as("a_id"), col("h"))
         .join(ch.select(col("doc_id").as("b_id"), col("h")), Seq("h"))

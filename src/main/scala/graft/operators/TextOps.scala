@@ -156,6 +156,19 @@ object TextOps {
         // (doc_id, source, toks), and text is the corpus's widest column —
         // caching it here would double the frame's memory for nothing
 
+  /** (source, tok, c) token counts per source — vocab-bounded (≤ |sources|
+    * × |vocab| rows), memoized + persisted: the KL drift report and the
+    * per-source TF-IDF terms each start from this identical aggregate of
+    * the exploded token stream, which is the row-bounded half of both.
+    */
+  private def sourceTokenCounts(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"src-tok-counts:$d:${graft.Caches.fingerprint(s, d)}",
+      tokenized(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Exploded positional bigrams (doc_id, pos, w1, w2), persisted per dir:
     * THREE plan branches consume them in each LM query (counts c and u,
     * plus the scoring join's probe side) — without the barrier the
@@ -944,8 +957,7 @@ object TextOps {
          |SELECT source, len(ks) AS n_tokens_distinct,
          |  round(list_sum(ks), 6) AS kl_divergence
          |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
-      val e = tokenized(s, d).select(col("source"), explode(col("toks")).as("tok"))
-      val st = e.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val st = sourceTokenCounts(s, d)
       val sn = st.groupBy("source").agg(sum("c").cast("long").as("ns"))
       val ct = st.groupBy("tok").agg(sum("c").cast("long").as("cc"))
       val tot = ct.agg(sum("cc").cast("long").as("nn"))
@@ -1189,9 +1201,7 @@ object TextOps {
          |  FROM sc)
          |SELECT source, rnk, tok, tfidf FROM r WHERE rnk <= 3
          |ORDER BY source, rnk""".stripMargin) { (s, d) =>
-      val tf = tokenized(s, d)
-        .select(col("source"), explode(col("toks")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val tf = sourceTokenCounts(s, d).withColumnRenamed("c", "tf")
       val df = tf.groupBy("tok").agg(countDistinct("source").as("df"))
       val ns = Tables.documents(s, d)
         .agg(countDistinct("source").as("ns"))
