@@ -31,6 +31,21 @@ object Caches {
   def getOrElseUpdate(key: String, mk: => DataFrame): DataFrame =
     frames.getOrElseUpdate(key, mk)
 
+  /** Force-materialize every registered frame (full scan via count) and
+    * return per-key wall seconds, key-sorted. Bench calls this between its
+    * untimed warm-up pass and the timed passes so a shared frame's build
+    * cost can never land on whichever timed consumer happens to run first
+    * — the attribution-stability guard the round-7 review asked for. On an
+    * already-warm registry each entry is a cache scan (~tens of ms), and
+    * the returned timings document exactly that in BENCH_FULL.json.
+    */
+  def warm(): Seq[(String, Double)] = frames.toSeq.sortBy(_._1).map {
+    case (k, df) =>
+      val t0 = System.nanoTime()
+      try df.count() catch { case _: Exception => () }
+      k -> (System.nanoTime() - t0) / 1e9
+  }
+
   /** Unpersist and forget every registered frame (idempotent; safe while
     * queries are not running). Call between runs or before session stop.
     */

@@ -16,26 +16,24 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Normalize `events.ts` to session-zoned TimestampType whatever physical
-    * type the parquet writer used. Current testdata stores
-    * Timestamp(isAdjustedToUTC=false, MICROS), which Spark 4 surfaces as
-    * TIMESTAMP_NTZ: every session here pins spark.sql.session.timeZone=UTC,
-    * so `cast("timestamp")` maps the wall-clock value to the identical
-    * instant (exact, no precision change). Older generations stored
-    * TIMESTAMP(NANOS) readable only as a nanosecond long; that branch
-    * reconstructs micros with integer division (a double division would lose
-    * precision above 2^53 ns). Downstream engine logic is second-granularity,
-    * matching the DuckDB oracle's epoch_ms(ts)//1000.
+  /** Normalize `events.ts` to session-zoned TimestampType. The testdata
+    * stores Timestamp(isAdjustedToUTC=false, MICROS), which Spark 4 surfaces
+    * as TIMESTAMP_NTZ: every session here pins spark.sql.session.timeZone=
+    * UTC, so `cast("timestamp")` maps the wall-clock value to the identical
+    * instant (exact, no precision change). Data written with TIMESTAMP(NANOS)
+    * is NOT readable here — no session sets the nanosAsLong legacy flag, so
+    * such a scan fails fast with ILLEGAL_PARQUET_TYPE rather than surfacing a
+    * long column (the former long-reconstruction branch was unreachable and
+    * was removed; re-reading that generation means re-enabling the flag AND
+    * reinstating micros = nanos div 1000 — integer division, a double
+    * division loses precision above 2^53 ns). Downstream engine logic is
+    * second-granularity, matching the DuckDB oracle's epoch_ms(ts)//1000.
     */
   private def withNanoTs(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(tsCol,
           org.apache.spark.sql.functions.col(tsCol).cast("timestamp"))
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn(tsCol,
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
       case _ => df
     }
 
@@ -56,24 +54,17 @@ object Tables {
     * stream-table scan per time-range query). Bounds are second-granularity
     * 'yyyy-MM-dd HH:mm:ss' UTC strings. NTZ storage: compare against a typed
     * LocalDateTime literal (same NTZ type → pushable, no cast on the column).
-    * Legacy nano-long storage: `nanos >= sec·10⁹` / `< sec·10⁹` is EXACTLY
-    * `ts >= from` / `ts < until` under the floor division of the conversion.
     */
   def eventsInRange(s: SparkSession, d: String, from: String,
       until: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     def ldt(ts: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-    def nanos(ts: String): Long =
-      ldt(ts).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
         withNanoTs(raw.where(
           col("ts") >= lit(ldt(from)) && col("ts") < lit(ldt(until))), "ts")
-      case org.apache.spark.sql.types.LongType =>
-        withNanoTs(raw.where(
-          col("ts") >= nanos(from) && col("ts") < nanos(until)), "ts")
       case _ =>
         raw.where(col("ts") >= from && col("ts") < until)
     }

@@ -198,9 +198,18 @@ object Curation {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("diversity"))
-      // pid order = global (diversity DESC, doc_id) order by construction
-      val parts = m.repartitionByRange(8, desc("diversity"), asc("doc_id"))
-        .withColumn("pid", spark_partition_id())
+      // pid order = global (diversity DESC, doc_id) order by construction.
+      // PERSISTED (lifecycle registry): the offsets collect and the final
+      // cumsum are two jobs, and repartitionByRange re-samples its range
+      // boundaries per execution — without this barrier the jobs can
+      // disagree on boundary-row placement once partitions outgrow the
+      // boundary sample, corrupting the prefix offsets. One materialized
+      // shuffle output serves both jobs. (Twin of q_curriculum's parts.)
+      val parts = graft.Caches.getOrElseUpdate(
+        s"budget-parts:$d:${graft.Caches.fingerprint(s, d)}",
+        m.repartitionByRange(8, desc("diversity"), asc("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // per-partition totals: ≤ #partitions rows — the licensed tiny
       // driver collect (same pattern as the profiler bounds)
       val sums = parts.groupBy("pid").agg(sum("n_tokens").as("psum"))

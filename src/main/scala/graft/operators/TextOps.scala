@@ -258,6 +258,30 @@ object TextOps {
       s"lm-model-u:$d:${graft.Caches.fingerprint(s, d)}",
       bigrams(s, d).groupBy("w1").agg(count(lit(1)).as("n1")).persist())
 
+  /** Target-slice ('src0') model tables for DSIR — trained once and
+    * persisted with the same discipline as the corpus tables they ratio
+    * against. Without the barrier each q_dsir_weight run re-ran the
+    * semi-join + both aggregations over the bigram stream (and ran the
+    * semi-join TWICE, once per table) — measured as the suite's slowest
+    * query at sf0.1. Both tables are target-vocab-bounded → broadcast.
+    */
+  private def dsirTargetC(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"dsir-target-c:$d:${graft.Caches.fingerprint(s, d)}",
+      dsirTargetBigrams(s, d)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("t2")).persist())
+
+  private def dsirTargetU(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"dsir-target-u:$d:${graft.Caches.fingerprint(s, d)}",
+      dsirTargetBigrams(s, d)
+        .groupBy("w1").agg(count(lit(1)).as("t1")).persist())
+
+  private def dsirTargetBigrams(s: SparkSession, d: String): DataFrame =
+    bigrams(s, d).join(
+      Tables.documents(s, d).where(col("source") === "src0").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** Full-model bigram LM scores (doc_id, n_bigrams, avg_logp) — the
     * q_text_lm_score result frame, factored out so the curriculum
     * bucketing composes the same plan (same broadcast-model shape, same
@@ -460,10 +484,21 @@ object TextOps {
          |  round(list_sum(lps) / len(lps), 6) AS mean_logp
          |FROM agg ORDER BY tier""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // pid order = global (avg_logp DESC, doc_id) order by construction
-      val parts = lmScores(s, d)
-        .repartitionByRange(8, desc("avg_logp"), asc("doc_id"))
-        .withColumn("pid", spark_partition_id())
+      // pid order = global (avg_logp DESC, doc_id) order by construction.
+      // PERSISTED (lifecycle registry), not just composed: the counts
+      // collect below and the tier aggregation are two separate jobs over
+      // this frame, and repartitionByRange samples its range boundaries
+      // per physical execution — without a materialization barrier the
+      // two jobs can disagree on which partition a boundary row lands in
+      // once partitions outgrow the boundary sample, silently corrupting
+      // the prefix-sum ranks. The persist pins ONE shuffle output that
+      // both jobs observe. (Same fix as q_budget_select's offsets frame.)
+      val parts = graft.Caches.getOrElseUpdate(
+        s"curriculum-parts:$d:${graft.Caches.fingerprint(s, d)}",
+        lmScores(s, d)
+          .repartitionByRange(8, desc("avg_logp"), asc("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // per-partition counts: ≤ #partitions rows — the licensed tiny
       // driver collect (same pattern as q_budget_select's offsets)
       val counts = parts.groupBy("pid").agg(count(lit(1)).as("pc"))
@@ -566,19 +601,16 @@ object TextOps {
       // frame repartitions before exploding) — only the small side
       // shuffles, the stream does not move
       val src = Tables.documents(s, d).select("doc_id", "source")
-      // corpus model tables come from the SHARED trained model (persisted
-      // once, served by four queries); only the target-slice counts are
-      // aggregated here — a pass over the (much smaller) target stream
-      // instead of re-counting the whole corpus with an is_t flag.
+      // all four model tables come from SHARED trained frames (persisted
+      // once): corpus counts from the LM model, target-slice counts from
+      // the dsirTarget tables — a pass over the (much smaller) target
+      // stream instead of re-counting the whole corpus with an is_t flag.
       // Bigrams the target never saw coalesce to t = 0, which is exactly
       // the combined-aggregation value they had before.
-      val tb = b.join(
-        src.where(col("source") === "src0").select("doc_id"),
-        Seq("doc_id"), "left_semi")
       val c = lmModelC(s, d)
       val u = lmModelU(s, d)
-      val t2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("t2"))
-      val t1 = tb.groupBy("w1").agg(count(lit(1)).as("t1"))
+      val t2 = dsirTargetC(s, d)
+      val t1 = dsirTargetU(s, d)
       val v = u.agg(count(lit(1)).as("vocab"))
       b.join(broadcast(c), Seq("w1", "w2"))
         .join(broadcast(u), Seq("w1"))
