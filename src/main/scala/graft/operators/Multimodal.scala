@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the training-data pipeline tier: media
   * payloads ride as opaque `binary` columns with typed metadata; decode /
-  * feature-extraction runs partition-batched. The container has no image or
-  * audio codecs, so the decode step is a clearly-marked deterministic stub
-  * ([[FakeDecoder]]) — the Spark-side plumbing (schema, binary encoding,
-  * partition batching, feature shape) is real and tested.
+  * feature-extraction runs partition-batched. The decode step is REAL as of
+  * round 8: [[graft.functions.Bmp]] is a pure-JVM codec for uncompressed
+  * 24-bit BMP (no external codec libraries needed), image fixtures are
+  * synthesized deterministically from document bytes at the ingest step
+  * ([[bmpPayloads]]), and q_mm_decode parses actual BMP headers + pixel
+  * rows. The round-7 FakeDecoder stub is gone; q_mm_features keeps its
+  * (unchanged, honestly named) payload byte-statistics semantics.
   *
   * Scale design (100 TB): payload bytes never enter a shuffle — metadata
   * extraction and feature extraction are map-only over the scan, and any
@@ -41,26 +44,51 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** Deterministic stand-in for a media decoder (no codecs in-container).
-    * Real deployments swap `decode` for an image/audio library call; the
-    * signature (bytes -> fixed-length feature vector) and the partition-
-    * batched call shape are what the pipeline depends on.
+  /** Payload byte statistics [byteLen, mean, max, checksum] — the cheap
+    * pre-decode feature tier (corrupt-file triage, size histograms) every
+    * media pipeline extracts before spending codec cycles. Deterministic
+    * byte math, so the DuckDB oracle recomputes it exactly.
     */
-  object FakeDecoder {
-    val featureDim = 4
-
-    /** "Decode" a payload into features: [byteLen, mean, max, checksum]. */
-    def decode(payload: Array[Byte]): Array[Double] = {
-      if (payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
-      else {
-        val unsigned = payload.map(b => (b & 0xff).toDouble)
-        Array(
-          payload.length.toDouble,
-          unsigned.sum / payload.length,
-          unsigned.max,
-          unsigned.sum % 256.0)
-      }
+  private[operators] def byteStats(payload: Array[Byte]): Array[Double] = {
+    if (payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+    else {
+      val unsigned = payload.map(b => (b & 0xff).toDouble)
+      Array(
+        payload.length.toDouble,
+        unsigned.sum / payload.length,
+        unsigned.max,
+        unsigned.sum % 256.0)
     }
+  }
+
+  /** Deterministic image-fixture synthesis — the ingest step that turns the
+    * text corpus into a REAL media column: per document (n = UTF-8 byte
+    * length > 0), a w×h 24-bit image with w = 1 + n mod 13, h = 1 + n mod 7
+    * and RGB bytes cycled from the document's own bytes, encoded as a
+    * complete BMP file by [[graft.functions.Bmp.encode24]]. Partition-
+    * batched map, payloads never shuffled. The construction is pure integer
+    * arithmetic on bytes, so the oracle can derive the expected DECODED
+    * pixels without a codec — which is what keeps q_mm_decode byte-exact
+    * while the Spark side parses actual headers.
+    */
+  private[operators] def bmpPayloads(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Bmp
+    Tables.documents(s, d)
+      .where(length(col("text")) > 0)
+      .withColumn("raw", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val w = 1 + n % 13
+          val h = 1 + n % 7
+          val rgb = Array.tabulate(w * h * 3)(i => bytes(i % n))
+          (id, Bmp.encode24(w, h, rgb))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   val entries: Seq[Q] = Seq(
@@ -164,10 +192,10 @@ object Multimodal {
         .orderBy("a_id", "b_id")
     },
 
-    // Partition-batched decode -> feature columns. mapPartitions is the
-    // Scala analog of mapInPandas: one decoder instance per partition,
-    // payloads streamed through it without collecting to the driver.
-    // The FakeDecoder features are deterministic byte math over the UTF-8
+    // Partition-batched byte-stats extraction -> feature columns.
+    // mapPartitions is the Scala analog of mapInPandas: one extractor per
+    // partition, payloads streamed through it without collecting to the
+    // driver. The features are deterministic byte math over the UTF-8
     // payload, so the oracle CAN recompute them: DuckDB lacks blob
     // indexing, but hex(blob) exposes every byte as two hex digits and
     // strpos('0123456789ABCDEF', ·) turns a digit back into its value —
@@ -198,12 +226,72 @@ object Multimodal {
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
-        // per-partition decoder init would go here (codec handles, models)
+        // per-partition extractor init would go here (codec handles, models)
         it.map { case (id, bytes) =>
-          val f = FakeDecoder.decode(bytes)
+          val f = byteStats(bytes)
           (id, f(0), f(1), f(2), f(3))
         }
       }.toDF("doc_id", "f_len", "f_mean", "f_max", "f_checksum")
+        .orderBy("doc_id")
+    },
+
+    // REAL image decode: synthesize the BMP media column at ingest
+    // (bmpPayloads — each payload is a complete, valid 24-bit BMP file),
+    // then decode it back with the pure-JVM Bmp codec: parse the header,
+    // re-order the bottom-up padded BGR rows into natural RGB pixels, and
+    // reduce them to features. The decode stage consumes ONLY
+    // (doc_id, payload) — it has no access to the text the fixture came
+    // from — so a header-math or padding bug cannot cancel out: the oracle
+    // derives the expected pixels arithmetically (dims from the byte
+    // length, pixels = document bytes cycled) and any decoder drift breaks
+    // the hash. Two chained partition-batched maps, payload bytes never
+    // shuffled; the final mean is rounded in SQL on both sides so float
+    // discipline matches the rest of the suite.
+    Q("q_mm_decode",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |dims AS (
+        |  SELECT doc_id, hx, n, 1 + n % 13 AS w, 1 + n % 7 AS h FROM b),
+        |v AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h * 3), i ->
+        |      16 * (strpos('0123456789ABCDEF',
+        |             substr(hx, 2 * ((i % n)::INT) + 1, 1)) - 1)
+        |         + strpos('0123456789ABCDEF',
+        |             substr(hx, 2 * ((i % n)::INT) + 2, 1)) - 1) AS px
+        |  FROM dims)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_px_bytes,
+        |  round(CAST(list_aggregate(px, 'sum') AS DOUBLE) / (w * h * 3), 6)
+        |    AS f_mean,
+        |  CAST(list_aggregate(px, 'max') AS DOUBLE) AS f_max,
+        |  CAST(list_aggregate(px, 'sum') % 256 AS DOUBLE) AS f_checksum
+        |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Bmp
+      bmpPayloads(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (w, h, rgb) = Bmp.decode24(bytes)
+            var sum = 0L
+            var max = 0
+            var i = 0
+            while (i < rgb.length) {
+              val v = rgb(i) & 0xff
+              sum += v
+              if (v > max) max = v
+              i += 1
+            }
+            (id, w.toLong, h.toLong, rgb.length.toLong, sum, max.toDouble)
+          }
+        }.toDF("doc_id", "width", "height", "n_px_bytes", "px_sum", "f_max")
+        .select(col("doc_id"), col("width"), col("height"), col("n_px_bytes"),
+          expr("round(CAST(px_sum AS DOUBLE) / n_px_bytes, 6)").as("f_mean"),
+          col("f_max"),
+          (col("px_sum") % 256).cast("double").as("f_checksum"))
         .orderBy("doc_id")
     }
   )
