@@ -117,6 +117,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-count budget: plans don't grow shuffles unannounced") {
+    // The BNL/window nets catch strategy regressions; this catches the
+    // quieter "one more repartition/groupBy" class: every query's
+    // ShuffleExchange count (initial physical plan, pre-AQE) is pinned in
+    // a committed budget file. An INTENTIONAL plan change re-records via
+    //   SHUFFLE_BUDGET_RECORD=1 sbt "testOnly graft.PlanAuditSpec"
+    // and the diff lands in review like any other code change.
+    val path = java.nio.file.Paths.get("src/test/resources/shuffle_budget.tsv")
+    // exchanges are inserted by EnsureRequirements, so count on the
+    // PREPARED plan (executedPlan) — with AQE off for the planning pass,
+    // because AdaptiveSparkPlanExec hides its unfinalized subtree from
+    // collect. Planning only; nothing executes here.
+    val counts = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> fn(spark, sfDir).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val rendered = counts.map { case (n, c) => s"$n\t$c" }
+      .mkString("", "\n", "\n")
+    if (!java.nio.file.Files.exists(path) ||
+        sys.env.contains("SHUFFLE_BUDGET_RECORD")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, rendered)
+      fail(s"shuffle budget (re)recorded to $path — review the diff and commit")
+    }
+    val budget = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
+      .filter(_.nonEmpty)
+      .map { l => val Array(n, c) = l.split("\t"); n -> c.toInt }.toMap
+    val drift = counts.collect {
+      case (n, c) if budget.get(n) != Some(c) =>
+        s"$n: ${budget.get(n).fold("absent")(_.toString)} -> $c"
+    }
+    assert(drift.isEmpty,
+      s"shuffle-count drift (budget vs plan): ${drift.mkString("; ")} — if " +
+        "intentional, re-record with SHUFFLE_BUDGET_RECORD=1 and commit")
+    val stale = budget.keySet -- counts.map(_._1).toSet
+    assert(stale.isEmpty, s"budget entries for deleted queries: $stale")
+  }
+
   test("no cartesian products; nested-loop joins only in the audited set") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.sparkPlan.toString

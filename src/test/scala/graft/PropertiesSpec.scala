@@ -324,3 +324,171 @@ object FunnelProperties extends Properties("graft.streaming.funnel") {
       } finally q.stop()
     }
 }
+
+/** Fuzz the STATEFUL transition stream the same way the funnel property
+  * does: random event streams (shared timestamps, shuffled within-batch
+  * arrival, random micro-batch split) must emit exactly the (prev → cur)
+  * pairs a sequential (ts, event_id)-ordered walk emits — the carried
+  * one-triple-per-user state may not drop or duplicate a pair at any
+  * batch boundary.
+  */
+object TransitionProperties extends Properties("graft.streaming.transition") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val types = Seq("view", "click", "purchase", "error", "signup")
+
+  private val caseGen: Gen[(List[(Long, Long, Long, String)], Int)] =
+    for {
+      n <- Gen.choose(5, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        t <- Gen.choose(0L, 9L) // coarse → equal-ts collisions
+        ty <- Gen.oneOf(types)
+      } yield (u, t, ty))
+      split <- Gen.choose(0, n)
+    } yield (evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (u, i.toLong, t, ty)
+    }, split)
+
+  /** Sequential (ts, event_id) replay: each event emits (prev → cur). */
+  private def referee(evs: Seq[(Long, Long, Long, String)])
+      : Set[(Long, String, String, Long)] =
+    evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Seq((_, _, _, prevTy), (_, id, _, curTy)) =>
+          (u, prevTy, curTy, id)
+      }
+    }.toSet
+
+  property("stream pairs == sequential replay across random batch splits") =
+    forAll(caseGen) { case (evs, split) =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val name = s"transprop${System.nanoTime()}"
+      val q = graft.streaming.Streams.transitionStream(
+        mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+          .as[graft.streaming.Streams.TransEvent])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // in-order delivery ACROSS batches (the stream's documented
+        // contract); reversed insertion INSIDE each batch — the
+        // operator's own (ts, event_id) sort must restore the order
+        val rows = evs.sortBy(e => (e._3, e._2))
+          .map { case (u, id, t, ty) => (u, id, ts(t), ty) }
+        val (h, t2) = rows.splitAt(split)
+        if (h.nonEmpty) { mem.addData(h.reverse); q.processAllAvailable() }
+        if (t2.nonEmpty) { mem.addData(t2.reverse); q.processAllAvailable() }
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSet
+        got == referee(evs)
+      } finally q.stop()
+    }
+}
+
+/** Fuzz the STATEFUL last-touch attribution stream against a sequential
+  * replay referee, including the same-micros edge the round-7 fix pinned:
+  * a click sharing a purchase's timestamp IS attributable (batch matches
+  * c_us <= p_us), so the stream's (ts, is-purchase, event_id) in-batch
+  * order — and the carried latest-click state across random batch splits
+  * — must reproduce exactly the referee's attribution set, max-click-id
+  * tiebreak included.
+  */
+object AttributionProperties
+    extends Properties("graft.streaming.attribution") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // click/purchase heavy so attributions actually fire; window 3 s over
+  // t in 0..9 exercises both inside- and outside-window purchases
+  private val WindowS = 3L
+  private val types = Seq("click", "purchase", "click", "purchase", "view")
+
+  private val caseGen: Gen[(List[(Long, Long, Long, String)], Int)] =
+    for {
+      n <- Gen.choose(5, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 9L) // coarse → same-ts click/purchase pairs
+        ty <- Gen.oneOf(types)
+      } yield (u, t, ty))
+      split <- Gen.choose(0, n)
+    } yield (evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (u, i.toLong, t, ty)
+    }, split)
+
+  /** Sequential replay in the operator's total order: clicks overwrite
+    * state (same-ts clicks in id order → max id wins), a purchase at the
+    * same instant as a click sees that click (clicks sort first).
+    */
+  private def referee(evs: Seq[(Long, Long, Long, String)])
+      : Set[(Long, Long, Long, Long)] =
+    evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var click: Option[(Long, Long)] = None // (id, t)
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      es.sortBy(e => (e._3, if (e._4 == "purchase") 1 else 0, e._2))
+        .foreach { case (_, id, t, ty) =>
+          ty match {
+            case "click" => click = Some((id, t))
+            case "purchase" => click.foreach { case (cid, ct) =>
+              if (ct <= t && t - ct <= WindowS)
+                out += ((u, id, cid, t - ct))
+            }
+            case _ => ()
+          }
+        }
+      out.result()
+    }.toSet
+
+  property("stream attributions == sequential replay across batch splits") =
+    forAll(caseGen) { case (evs, split) =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val name = s"attrprop${System.nanoTime()}"
+      val q = graft.streaming.Streams.attributionStream(
+        mem.toDF.toDF("user_id", "event_id", "ts", "event_type")
+          .as[graft.streaming.Streams.AttrEvent], WindowS)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // cross-batch delivery follows the operator's total order (a
+        // same-micros click must not land in the batch AFTER its
+        // purchase — that violates the ts-monotone contract); within a
+        // batch the insertion is reversed
+        val rows = evs
+          .sortBy(e => (e._3, if (e._4 == "purchase") 1 else 0, e._2))
+          .map { case (u, id, t, ty) => (u, id, ts(t), ty) }
+        val (h, t2) = rows.splitAt(split)
+        if (h.nonEmpty) { mem.addData(h.reverse); q.processAllAvailable() }
+        if (t2.nonEmpty) { mem.addData(t2.reverse); q.processAllAvailable() }
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        got == referee(evs)
+      } finally q.stop()
+    }
+}
