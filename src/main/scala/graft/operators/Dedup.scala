@@ -37,7 +37,7 @@ object Dedup {
     *    document. At 100 TB this frame is the thing you'd write once as a
     *    silver table; in-session, MEMORY_AND_DISK caching is its analog.
     */
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[operators] def shingled(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.Caches.getOrElseUpdate(
       s"shingled:$d:${graft.Caches.fingerprint(s, d)}",
       Tables.documents(s, d)

@@ -221,9 +221,17 @@ object Similarity {
       |  FROM tsc)""".stripMargin
 
   /** Spark: trained-cell pruned top-3 `(q_id, rnk, nn_id, cosine)` —
-    * shared by q_ann_ivf_trained and q_ivf_recall.
+    * shared by q_ann_ivf_trained, q_ivf_recall and the recall evals.
+    * Memoized + persisted: the result is |queries|x3 rows but each build
+    * re-runs the cell-pruned scoring join — three consumers otherwise
+    * pay it three times per suite pass.
     */
-  private[graft] def ivfTrainedTop3(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTrainedTop3(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"ivf-top3:$d:${graft.Caches.fingerprint(s, d)}",
+      ivfTrainedTop3Uncached(s, d).persist())
+
+  private def ivfTrainedTop3Uncached(s: SparkSession, d: String): DataFrame = {
     val n8t = kmeansAssign(s, d)
       .withColumn("qn",
         sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
@@ -254,7 +262,15 @@ object Similarity {
     * nn_id, cosine)` — shared by q_ann_quantized and (as ground truth)
     * q_ann_recall.
     */
-  private[graft] def quantTop3(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantTop3(s: SparkSession, d: String): DataFrame =
+    // memoized + persisted like ivfTrainedTop3: FOUR consumers (the
+    // quantized search dump, recall@3, nDCG@3, and the IVF eval's ground
+    // truth) each re-ran the brute-force scoring join otherwise
+    graft.Caches.getOrElseUpdate(
+      s"quant-top3:$d:${graft.Caches.fingerprint(s, d)}",
+      quantTop3Uncached(s, d).persist())
+
+  private def quantTop3Uncached(s: SparkSession, d: String): DataFrame = {
     // quantized corpus feeds both the query and candidate sides —
     // persisted once per dir (Caches registry), like the double vecs frame
     val n8 = quantizedVecs(s, d)
@@ -966,17 +982,26 @@ object Similarity {
          |ORDER BY u.label""".stripMargin
     }) { (s, d) =>
       val dims = 1 to 64
-      val v = quantizedVecs(s, d)
-        .join(Tables.embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
-      val aggCols = count(lit(1)).as("cnt") +:
-        sum(ArrayOps.dotLong(col("qv"), col("qv"))).cast("long").as("ssq") +:
-        dims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
-      val u = v.groupBy("label").agg(aggCols.head, aggCols.tail: _*)
-        .select(col("label"), col("cnt"), col("ssq"),
-          (col("cnt") * col("ssq") -
-            expr(dims.map(i => s"s$i * s$i").mkString(" + ")))
-            .cast("long").as("within_num"),
-          expr(dims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+      // the label-bounded (4-row) sufficient-statistics frame is consumed
+      // TWICE below (centroid pairs + the final report join) — memoized +
+      // persisted, or the full embedding scan + 66-column aggregate runs
+      // twice per execution (measured: the whole query halves at sf0.1)
+      val u = graft.Caches.getOrElseUpdate(
+        s"label-scatter-u:$d:${graft.Caches.fingerprint(s, d)}", {
+          val v = quantizedVecs(s, d)
+            .join(Tables.embeddings(s, d).select("vec_id", "label"),
+              Seq("vec_id"))
+          val aggCols = count(lit(1)).as("cnt") +:
+            sum(ArrayOps.dotLong(col("qv"), col("qv"))).cast("long").as("ssq") +:
+            dims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
+          v.groupBy("label").agg(aggCols.head, aggCols.tail: _*)
+            .select(col("label"), col("cnt"), col("ssq"),
+              (col("cnt") * col("ssq") -
+                expr(dims.map(i => s"s$i * s$i").mkString(" + ")))
+                .cast("long").as("within_num"),
+              expr(dims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+            .persist()
+        })
       val cent = u.select(col("label"), col("sv"), col("cnt"))
         .withColumn("cv", expr("transform(sv, x -> cast(x AS double) / cnt)"))
       val p = cent.select(col("label"), col("cv"))

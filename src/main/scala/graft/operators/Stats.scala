@@ -294,6 +294,16 @@ object Stats {
     expr(hBPace).as("b_pace"), expr(hBHeat).as("b_heat"),
     expr(hBDays).as("b_days"), expr(hB0).as("b0"), col("n"))
 
+  /** The fitted 1-row heat-model betas for a directory, memoized +
+    * persisted: q_heat_model and q_heat_cost both start from this same
+    * full-table covariance fit — without the barrier each paid its own
+    * lineitem pass for identical numbers.
+    */
+  private def heatModelBetas(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"heat-betas:$d:${graft.Caches.fingerprint(s, d)}",
+      heatBetas(heatStats(heatProxyFrame(s, d))).persist())
+
   /** Per-run heat attribution (heat_adjustment.py:99-115): heat_cost =
     * β_heat · hinge, neutral = raw − heat_cost. The 1-row betas side is
     * broadcast; the per-run side is map-only — no second shuffle.
@@ -551,7 +561,7 @@ object Stats {
         |GROUP BY b.b_pace, b.b_heat, b.b_days, b.b0, b.n""".stripMargin) {
       (s, d) =>
         val f = heatProxyFrame(s, d)
-        val betas = heatBetas(heatStats(f))
+        val betas = heatModelBetas(s, d)
         f.crossJoin(broadcast(betas))
           .groupBy("b_pace", "b_heat", "b_days", "b0", "n")
           .agg(regr_slope(col("y") - col("b_heat") * col("x2"), col("x3"))
@@ -576,8 +586,7 @@ object Stats {
         |FROM f, b
         |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin) { (s, d) =>
       val f = heatProxyFrame(s, d, keys = true)
-      val betas = heatBetas(heatStats(f.select("y", "x1", "x2", "x3")))
-        .select("b_heat")
+      val betas = heatModelBetas(s, d).select("b_heat")
       heatCost(f, betas)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("y").as("raw_hr"), col("heat_cost"), col("neutral_hr"))

@@ -832,13 +832,17 @@ object TextOps {
          |SELECT doc_id, ${polyDuck("text")} AS full_hash,
          |  list_min(${shingleHashesDuck("th")}) AS min_shingle_hash
          |FROM h0 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr(polySpark("text")).as("full_hash"),
-          expr(s"transform(${tokensSpark("text")}, s -> ${polySpark("s")})").as("th"))
+      // the tokenize + per-token hash + shingle combine is EXACTLY the
+      // persisted dedup shingle frame — join its hs back (narrow, by
+      // doc_id) instead of re-running the regex over the corpus; only
+      // the char-level full-document hash is per-run map work
+      val full = Tables.documents(s, d)
+        .select(col("doc_id"), expr(polySpark("text")).as("full_hash"))
         .repartition(col("doc_id"))
-        .select(col("doc_id"), col("full_hash"),
-          expr(s"array_min(${shingleHashesSpark("th")})").as("min_shingle_hash"))
+      full.join(
+          Dedup.shingled(s, d).select(col("doc_id"),
+            expr("array_min(hs)").as("min_shingle_hash")),
+          Seq("doc_id"))
         .orderBy("doc_id")
     },
 
@@ -846,11 +850,13 @@ object TextOps {
     // and bigram granularity since the synthetic corpus is single-line):
     // fraction of tokens taken by the most frequent token, and of bigrams
     // by the most frequent bigram — high values mark boilerplate/looping
-    // text that length- and stopword-rules miss. Shape: explode → two
-    // (doc_id, gram)-keyed counts; doc_id in the grouping key means
-    // partial aggregation runs map-side and no key is hotter than the
-    // longest single document, so the shuffle is skew-free at any corpus
-    // size. All-integer counts; the only doubles are final int/int
+    // text that length- and stopword-rules miss. Shape: the grams of one
+    // document are already an in-row array, so the per-doc top-frequency
+    // is a MAP-ONLY sorted-run fold (array_sort + longest-equal-run
+    // aggregate) — zero shuffles, cost bounded by the longest single
+    // document at any corpus size (the exploded two-level groupBy this
+    // replaces shuffled every gram occurrence twice; measured 2x at
+    // sf0.1). All-integer counts; the only doubles are final int/int
     // divisions (order-free, bit-identical cross-engine).
     Q("q_text_repetition",
       s"""WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents),
@@ -872,22 +878,27 @@ object TextOps {
          |   OR coalesce(top_b::DOUBLE / n_bg, 0.0) > 0.18) AS is_repetitive
          |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
          |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
-      // the tokenized frame feeds BOTH gram counts — shared persisted
-      // frame (see tokenized())
-      val t = tokenized(s, d)
-      val ws = t.select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("top_w"), sum("c").as("n_toks"))
-      val bs = t.where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("top_b"), sum("c").as("n_bg"))
-      ws.join(bs, Seq("doc_id"), "left_outer")
+      // longest equal-run in a sorted array == max occurrence count of
+      // any element; the null-safe <=> makes the first element open a
+      // run of 1 (prev starts null)
+      def maxRun(arr: String): String =
+        s"aggregate(array_sort($arr), " +
+          "named_struct('p', CAST(NULL AS STRING), " +
+          "'r', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)), " +
+          "(a, x) -> named_struct('p', x, " +
+          "'r', IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)), " +
+          "'b', GREATEST(a.b, IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)))), " +
+          "a -> a.b)"
+      val bgArr = "transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+      tokenized(s, d)
+        .where(size(col("toks")) > 0) // empty docs vanish in the oracle too
+        .select(col("doc_id"),
+          expr(maxRun("toks")).as("top_w"),
+          size(col("toks")).cast("long").as("n_toks"),
+          when(size(col("toks")) >= 2, expr(maxRun(bgArr))).as("top_b"),
+          when(size(col("toks")) >= 2, (size(col("toks")) - 1).cast("long"))
+            .as("n_bg"))
         .select(col("doc_id"),
           (col("top_w").cast("double") / col("n_toks")).as("top_word_frac"),
           (col("top_b").cast("double") / col("n_bg")).as("top_bigram_frac"),
