@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -183,6 +183,82 @@ case class SqDistDouble(left: Expression, right: Expression) extends ArrayFoldBi
     copy(left = newLeft, right = newRight)
 }
 
+/** 30-bit SimHash of a BIGINT hash array in ONE pass: for each bit j,
+  * bs_j = Σ (±1 as hash bit j is set/clear); the signature sets bit j iff
+  * bs_j > 0. Replaces the 30-fold HOF formulation (30 separate
+  * `aggregate(arr, …)` columns = 30 interpreted lambda passes over every
+  * array — measured as the whole cost of the simhash query) with a single
+  * primitive loop. Bit test is `(h / 2ʲ) % 2 == 1` — Java's truncating
+  * division and remainder, identical to the Spark `div`/`%` the HOF chain
+  * used, so the signature is bit-equal on any input including negatives
+  * (where the test is false and the contribution −1, same as the CASE).
+  * Null array → null; a null ELEMENT → null (the inputs are % P hash
+  * arrays, which carry none).
+  */
+case class SimHash30(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash30"
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val bs = ctx.freshName("bs")
+      val sig = ctx.freshName("sig")
+      val bad = ctx.freshName("nullElem")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $bs = new int[30];
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  final long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 30; $j++) {
+         |    $bs[$j] += (($h / (1L << $j)) % 2L == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < 30; $j++) {
+         |    if ($bs[$j] > 0) $sig |= (1L << $j);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val bs = new Array[Int](30)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val h = x.getLong(i)
+      var j = 0
+      while (j < 30) {
+        bs(j) += (if ((h / (1L << j)) % 2L == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 30) {
+      if (bs(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash30 =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Exact integer dot product of two ARRAY<BIGINT> columns. */
   def dotLong(a: Column, b: Column): Column =
@@ -199,4 +275,8 @@ object ArrayOps {
   /** Sequential-fold Σ(aᵢ−bᵢ)² of two ARRAY<DOUBLE> columns. */
   def sqDistDouble(a: Column, b: Column): Column =
     Exprs.column(SqDistDouble(Exprs.expression(a), Exprs.expression(b)))
+
+  /** One-pass 30-bit SimHash of an ARRAY<BIGINT> hash column. */
+  def simHash30(a: Column): Column =
+    Exprs.column(SimHash30(Exprs.expression(a)))
 }

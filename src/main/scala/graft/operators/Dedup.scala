@@ -96,6 +96,12 @@ object Dedup {
   def ngramJaccardPairsFromPostings(ex: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // candidate generation stays the codegen'd inverted-index SELF-JOIN
+    // here: capped 3-gram postings keep keys up to the df cap (50 at
+    // sf0.1 for the fractional form), and at C(50,2) pairs per key the
+    // join's codegen pair emission beats [[pairCounts]]'s per-element
+    // lambda slices (measured 1.6 s vs 1.3 s at sf0.1); pairCounts wins
+    // where keys are near-unique (the 10-gram span postings)
     val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
       .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
       .where(col("a_id") < col("b_id"))
@@ -110,6 +116,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** Shared-key pair counts `(a_id, b_id, n_shared)` from exploded
+    * `(doc_id, hsh)` postings — the candidate-generation core of every
+    * inverted-index dedup query. ONE aggregation shape instead of the
+    * self-join: group the postings by key, keep only keys shared by >1
+    * document (the overwhelming majority of keys are unique and die in
+    * the partial aggregate, map-side), emit the ordered in-group pairs
+    * from the sorted id array, and count pairs. Replaces two full
+    * shuffles of the postings (both self-join sides) + a pair shuffle
+    * with ONE full shuffle + a pair shuffle over only true candidates
+    * (measured 1.7 s → sub-second on the span query at sf0.1). The
+    * quadratic bound is unchanged: a key shared by k docs yields C(k,2)
+    * pairs in both formulations, colocated on the key either way.
+    * Best for postings whose keys are NEAR-UNIQUE (long spans): pair
+    * emission goes through per-element lambda slices, so at high shared
+    * df the codegen'd self-join generates pairs faster — the Jaccard
+    * family keeps the join for exactly that reason.
+    */
+  def pairCounts(ex: DataFrame): DataFrame =
+    ex.groupBy("hsh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> " +
+          "struct(x AS a_id, y AS b_id))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
 
   /** N-gram Jaccard pairs with the boilerplate cap. Recall trade-off: a
     * pair whose shared shingles are ALL hot is never a candidate — at the
@@ -872,11 +907,8 @@ object Dedup {
         .select(col("doc_id"), expr(spanSparkExpr).as("sh"))
         .where(size(col("sh")) > 0)
         .select(col("doc_id"), explode(col("sh")).as("hsh"))
-      ex.select(col("doc_id").as("a_id"), col("hsh"))
-        .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
-        .where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_spans"))
+      pairCounts(ex)
+        .withColumnRenamed("n_shared", "n_spans")
         .orderBy("a_id", "b_id")
     },
 
@@ -943,20 +975,16 @@ object Dedup {
          |FROM b ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       // distinct TOKEN hashes (not shingles); the shingled() barrier has
-      // already materialized th, so the 30 bit-sum folds are pure BIGINT
-      // arithmetic over an in-memory array.
-      var df = shingled(s, d)
+      // already materialized th, and the 30 bit sums + final signature
+      // come from the one-pass codegen'd kernel (functions.SimHash30) —
+      // the 30-fold HOF formulation re-walked every array 30 times with
+      // an interpreted lambda and was the entire cost of this query.
+      shingled(s, d)
         .where(size(col("th")) > 0)
-        .withColumn("dth", array_distinct(col("th")))
-      (0 until 30).foreach { j =>
-        val pw = 1L << j
-        df = df.withColumn(s"bs$j",
-          expr(s"aggregate(dth, 0L, (a,h) -> a + CASE WHEN (h div $pw) % 2 = 1 THEN 1 ELSE -1 END)"))
-      }
-      val sum = (0 until 30)
-        .map { j => when(col(s"bs$j") > 0, lit(1L << j)).otherwise(0L) }
-        .reduce(_ + _)
-      df.select(col("doc_id"), sum.as("simhash")).orderBy("doc_id")
+        .select(col("doc_id"),
+          graft.functions.ArrayOps.simHash30(array_distinct(col("th")))
+            .as("simhash"))
+        .orderBy("doc_id")
     },
 
     // Embedding-cosine near-dup pairs, blocked on the label bucket (the
@@ -993,9 +1021,14 @@ object Dedup {
     // shingles whose FIRST occurrence (min doc_id = corpus order here;
     // ingestion time in production) is this document — the "how much new
     // content does this doc contribute" score curation pipelines use to
-    // rank near-threshold survivors. Two passes over the shared postings
-    // frame: one groupBy(hsh) for the first-occurrence map, one equi-join
-    // back + groupBy(doc). Integer counts; only the final ratio is float.
+    // rank near-threshold survivors. One hsh-partitioned window pass over
+    // the shared postings frame (min(doc_id) over each shingle's
+    // postings), then the per-doc rollup — the oracle's DISTINCT and
+    // groupBy+join-back are dropped on the Spark side because `hs` is
+    // array_distinct per document by construction (TextHash), so the
+    // exploded (doc, hsh) stream is already duplicate-free and the
+    // first-occurrence map can ride the same shuffle that would have fed
+    // the join. Integer counts; only the final ratio is float.
     Q("q_novelty",
       s"""WITH $shingledDuck,
          |ed AS (SELECT DISTINCT doc_id, unnest(hs) AS hsh
@@ -1007,10 +1040,10 @@ object Dedup {
          |    AS DOUBLE) / count(*), 6) AS novelty
          |FROM ed JOIN f USING (hsh)
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val ed = postings(s, d).distinct()
-      val first = ed.groupBy("hsh").agg(min("doc_id").as("first_doc"))
       val novel = count(when(col("first_doc") === col("doc_id"), 1))
-      ed.join(first, Seq("hsh"))
+      postings(s, d)
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("hsh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"), novel.as("n_novel"),
           round(novel.cast("double") / count(lit(1)), 6).as("novelty"))

@@ -140,8 +140,17 @@ object Similarity {
 
   /** Spark: LSH candidate top-3 `(q_id, rnk, nn_id, cosine)` — the
     * multi-table sign-bit layout shared by q_ann_lsh and q_ann_recall.
+    * Memoized + persisted like quantTop3: THREE consumers (the LSH dump,
+    * recall@3, nDCG@3) each re-ran the 32-plane sign-bit pass and the
+    * candidate scoring join otherwise; the frame itself is ≤ 3·|queries|
+    * rows.
     */
-  private[graft] def lshTop3(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshTop3(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"lsh-top3:$d:${graft.Caches.fingerprint(s, d)}",
+      lshTop3Uncached(s, d).persist())
+
+  private def lshTop3Uncached(s: SparkSession, d: String): DataFrame = {
     val n = quantizedVecs(s, d)
     val nTables = 8
     val bitsPerTable = 4
@@ -502,9 +511,17 @@ object Similarity {
       val u2a = kmeansUpdate(a2).select(col("cid"), col("cnt"),
         expr(KmDims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
         expr(KmDims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+      // Σᵢ (qvᵢ·cnt − svᵢ)² expanded to cnt²·⟨qv,qv⟩ − 2·cnt·⟨qv,sv⟩ +
+      // ⟨sv,sv⟩ — three codegen'd integer dot kernels instead of the
+      // 64-term interpreted HOF fold; exact BIGINT arithmetic, identical
+      // value (the expansion is algebra, not approximation, and both
+      // forms stay inside int64 at the magnitudes the cnt² growth allows)
+      val dot = graft.functions.ArrayOps.dotLong _
       val dn = a2.join(broadcast(u2a.select("cid", "cnt", "sv")), Seq("cid"))
-        .withColumn("dnum", expr(
-          "aggregate(transform(sequence(1, 64), i -> (element_at(qv,i) * cnt - element_at(sv,i)) * (element_at(qv,i) * cnt - element_at(sv,i))), 0L, (a,x) -> a + x)"))
+        .withColumn("dnum",
+          col("cnt") * col("cnt") * dot(col("qv"), col("qv"))
+            - lit(2L) * col("cnt") * dot(col("qv"), col("sv"))
+            + dot(col("sv"), col("sv")))
         .groupBy("cid").agg(sum("dnum").as("distortion_num"))
       u2a.join(dn, Seq("cid"))
         .select(col("cid"), col("cnt").as("n_members"), col("sum_components"),

@@ -216,9 +216,10 @@ object TextOps {
     val topk = c.orderBy(desc("n2"), asc("w1"), asc("w2")).limit(k)
     val u = lmModelU(s, d)
     val v = u.agg(count(lit(1)).as("vocab"))
-    b.join(broadcast(u), Seq("w1"))
+    // the 1-row vocab count rides the unigram broadcast (crossJoin over
+    // the |V|-bounded cached frame) — two broadcast-build jobs, not three
+    b.join(broadcast(u.crossJoin(v)), Seq("w1"))
       .join(broadcast(topk), Seq("w1", "w2"), "left")
-      .crossJoin(broadcast(v))
       .select(col("doc_id"), col("pos"),
         expr("ln((coalesce(n2, 0L) + 1.0) / (n1 + vocab))").as("logp"),
         col("n2").isNotNull.as("hit"))
@@ -612,11 +613,18 @@ object TextOps {
       val t2 = dsirTargetC(s, d)
       val t1 = dsirTargetU(s, d)
       val v = u.agg(count(lit(1)).as("vocab"))
-      b.join(broadcast(c), Seq("w1", "w2"))
-        .join(broadcast(u), Seq("w1"))
-        .join(broadcast(t2), Seq("w1", "w2"), "left_outer")
-        .join(broadcast(t1), Seq("w1"), "left_outer")
-        .crossJoin(broadcast(v))
+      // ONE broadcast for all four model tables: the corpus conditional
+      // table c covers every stream bigram by construction (trained on
+      // the same corpus), so u/t2/t1 fold onto its (w1, w2) key as
+      // left joins over the |V|²-bounded CACHED frames — the stream pays
+      // a single broadcast-build job instead of four (each build is a
+      // separate driver round-trip; measured as most of this query's
+      // remaining cost once the models were persisted).
+      val model = c.join(u, Seq("w1"))
+        .join(t2, Seq("w1", "w2"), "left_outer")
+        .join(t1, Seq("w1"), "left_outer")
+        .crossJoin(v) // 1-row vocab rides the same broadcast
+      b.join(broadcast(model), Seq("w1", "w2"))
         .select(col("doc_id"), col("pos"),
           expr("ln((coalesce(t2, 0L) + 1.0) / (coalesce(t1, 0L) + vocab))" +
             " - ln((n2 + 1.0) / (n1 + vocab))").as("lr"))
