@@ -45,7 +45,14 @@ object GraftFunctions {
       SqDistDouble.apply),
     binary("student_t_sf", classOf[StudentTSf],
       "_FUNC_(t, df) - Student-t survival function 1 - CDF(t)",
-      StudentTSf.apply))
+      StudentTSf.apply),
+    (FunctionIdentifier("simhash30"),
+      info(classOf[SimHash30], "simhash30",
+        "_FUNC_(a) - one-pass 30-bit SimHash of an ARRAY<BIGINT>"),
+      { children =>
+        require(children.length == 1, "simhash30 expects exactly 1 argument")
+        SimHash30(children.head)
+      }))
 
   /** Register every function on an existing session (idempotent —
     * re-registration overwrites with the same definition).

@@ -113,6 +113,42 @@ class ArrayOpsSpec extends SparkSpec {
     new functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("simHash30 matches the 30-fold HOF formulation bit-for-bit") {
+    // the kernel this replaced: 30 separate aggregate() folds, bit test
+    // via truncating div/mod — fuzz it over positive hash-like values,
+    // boundary powers of two, and (out-of-contract but defined) negatives
+    val rnd = new scala.util.Random(421)
+    val rows = (Seq(Seq.empty[Long], Seq(0L), Seq((1L << 30) - 1)) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(60) + 1)(
+        rnd.nextLong().abs % (1L << 30))) :+
+      Seq(-5L, 7L, 1L << 29)).map(Tuple1(_))
+    val df = rows.toDF("a")
+    val hofBits = (0 until 30).map { j =>
+      val pw = 1L << j
+      expr(s"aggregate(a, 0L, (acc,h) -> acc + CASE WHEN (h div $pw) % 2 = 1 THEN 1 ELSE -1 END)")
+        .as(s"bs$j")
+    }
+    val hofSig = (0 until 30)
+      .map(j => when(col(s"bs$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val got = df.select(ArrayOps.simHash30($"a").as("k") +: hofBits: _*)
+      .select(col("k"), hofSig.as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // SQL surface
+    functions.GraftFunctions.register(spark)
+    // single element: bs_j = +1 exactly where the value's bit is set, so
+    // the signature IS the value (for values < 2^30)
+    val sq = spark.sql("SELECT simhash30(array(5L)) AS s").collect()(0)
+    assert(sq.getLong(0) === 5L)
+    // [1,2,4]: each bit collects one +1 and two -1 -> no bit survives
+    val sz = spark.sql("SELECT simhash30(array(1L, 2L, 4L)) AS s").collect()(0)
+    assert(sz.getLong(0) === 0L)
+    // null array -> null
+    val nr = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("a")
+      .select(ArrayOps.simHash30($"a")).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -122,5 +158,9 @@ class ArrayOpsSpec extends SparkSpec {
     assert(d.eval(null) === (14L + 33L + 65L))
     val sq = functions.SqDistLong(arr(2L, 3L), arr(5L, 1L))
     assert(sq.eval(null) === (9L + 4L))
+    val sh = functions.SimHash30(arr(5L))
+    assert(sh.eval(null) === 5L) // single element: signature = value
+    assert(functions.SimHash30(arr(1L, 2L, 4L)).eval(null) === 0L)
+    assert(functions.SimHash30(arr()).eval(null) === 0L)
   }
 }

@@ -243,6 +243,31 @@ class DedupSpec extends SparkSpec {
     assert(blocked === truth)
   }
 
+  test("pairCounts equals the inverted-index self-join on random postings") {
+    // the one-shuffle grouped-pair formulation (used by the span query)
+    // must be row-identical to the two-sided self-join it replaced —
+    // fuzz over a random postings table incl. a hot key (df 12) and
+    // many unique keys
+    import spark.implicits._
+    val rnd = new scala.util.Random(87)
+    val rows = ((1 to 400).map { i =>
+      (rnd.nextInt(40).toLong + 1L, (i * 31 + rnd.nextInt(500)).toLong)
+    } ++ (1 to 12).flatMap(d =>
+      Seq((d.toLong, 99999L), (d.toLong, 88888L)))).distinct
+    val ex = rows.toDF("doc_id", "hsh")
+    val got = operators.Dedup.pairCounts(ex)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = ex.select(col("doc_id").as("a_id"), col("hsh"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n"))
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.exists(_._3 > 1L), "fixture produced no multi-key pair")
+  }
+
   test("minhash calibration: identical sets estimate 1.0, error is bounded") {
     val rows = SparkEntry.queries("q_minhash_calibration")(spark, sfDir)
       .collect()
