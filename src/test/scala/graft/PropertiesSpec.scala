@@ -492,3 +492,90 @@ object AttributionProperties
       } finally q.stop()
     }
 }
+
+/** Fuzz the WATERMARKED session-window stream against a driver-side
+  * sessionization referee — completes the keyed-stream replay net
+  * (funnel / transition / attribution above are custom flatMapGroups
+  * state; this one is the built-in session_window + watermark, whose
+  * merge rule and append-mode emission discipline deserve the same
+  * cross-batch-boundary fuzzing). Events arrive ts-ordered across a
+  * random batch split; a far-future flush event per user advances the
+  * watermark past every real session so append mode emits them all
+  * (the flush sessions themselves stay open and unEmitted).
+  */
+object SessionizeStreamProperties extends Properties("graft.streaming.sessionize") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val GapSec = 3L
+
+  private val caseGen: Gen[(List[(Long, Long)], Int)] =
+    for {
+      n <- Gen.choose(4, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 25L) // dense → merges AND gap breaks
+      } yield (u, t))
+      split <- Gen.choose(0, n)
+    } yield (evs, split)
+
+  /** session_window semantics: consecutive events merge iff
+    * diff <= gap (adjacent [t, t+gap) windows DO merge — falsified the
+    * strict-< referee at diff == gap), i.e. split on diff > gap — the
+    * SAME rule as the batch twin Windows.sessionize, so the property
+    * also pins batch/stream gap-contract agreement. Session end =
+    * last event + gap.
+    */
+  private def referee(evs: Seq[(Long, Long)])
+      : Set[(Long, Long, Long, Long)] =
+    evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) {
+        case (cur :: done, t) =>
+          if (t - cur.head <= GapSec) (t :: cur) :: done
+          else List(t) :: cur :: done
+        case (Nil, t) => List(List(t))
+      }
+      sessions.map(s => (u, s.last, s.head + GapSec, s.length.toLong))
+    }.toSet
+
+  property("emitted sessions == batch sessionization across batch splits") =
+    forAll(caseGen) { case (evs, split) =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val base = 1700000000L
+      def ts(s: Long) = new java.sql.Timestamp((base + s) * 1000L)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val name = s"sessprop${System.nanoTime()}"
+      val q = graft.streaming.Streams.sessionizeStream(
+          mem.toDF.toDF("user_id", "ts"), "user_id", "ts",
+          gap = s"$GapSec seconds", watermark = "30 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val rows = evs.sortBy(_._2).map { case (u, t) => (u, ts(t)) }
+        val (h, t2) = rows.splitAt(split)
+        if (h.nonEmpty) { mem.addData(h.reverse); q.processAllAvailable() }
+        if (t2.nonEmpty) { mem.addData(t2.reverse); q.processAllAvailable() }
+        // flush: one far-future event per user closes every real session
+        mem.addData((1L to 3L).map(u => (u, ts(100000L))))
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map { r =>
+          (r.getLong(0),
+            r.getTimestamp(1).getTime / 1000L - base,
+            r.getTimestamp(2).getTime / 1000L - base,
+            r.getLong(3))
+        }.toSet
+        got == referee(evs)
+      } finally q.stop()
+    }
+}
