@@ -28,6 +28,9 @@ object Sampling {
   /** Per-stratum sample quota. */
   val StratumK = 20
 
+  /** Global quota for the weighted (A-ES) sample. */
+  val WeightedK = 50
+
   /** Candidate-filter safety margin: a stratum keeps rows whose hash
     * falls in the smallest `margin * k / n` fraction of hash space before
     * the exact top-k window runs. 4× the quota makes a short stratum
@@ -140,6 +143,45 @@ object Sampling {
           (col("w_temp") / (col("n").cast("double") / col("nn"))).as("boost"),
           expr("cast(floor(total * w_temp) AS bigint)").as("quota"))
         .orderBy("source")
+    },
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis A-ES):
+    // each document draws key = u^(1/w) with u uniform in (0,1) and
+    // weight w; the top-k keys ARE a weighted sample without replacement.
+    // Here w = n_chars — the token-budget-aware shape ("sample documents
+    // proportionally to their length") an LLM data recipe needs. The
+    // uniform is the deterministic id-hash scaled into (0,1], so any
+    // engine draws the same sample; the rank key is the monotone
+    // transform ln(u)/w (avoids u^(1/w) underflow at corpus-scale
+    // weights), ROUNDED before the cut (the repo's established
+    // engine-stable-ordering discipline — ln may differ in the last ulp
+    // across libm implementations) with doc_id as the total tiebreak.
+    // Scale shape: one map-side key computation + a global top-k
+    // (TakeOrdered — never a full sort); no shuffle of the corpus.
+    Q("q_sample_weighted", {
+      val h = sampleHash("doc_id")
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars,
+         |    round(ln((($h) + 1.0) / ${HashP + 1}.0) / n_chars, 9) AS key
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT doc_id, n_chars, key,
+         |    row_number() OVER (ORDER BY key DESC, doc_id) AS rnk
+         |  FROM k)
+         |SELECT rnk, doc_id, n_chars, round(key, 6) AS key
+         |FROM r WHERE rnk <= $WeightedK ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).select("doc_id", "n_chars")
+        .where(col("n_chars") > 0)
+        .withColumn("key", round(
+          log((expr(sampleHash("doc_id")) + lit(1.0)) / lit((HashP + 1).toDouble))
+            / col("n_chars"), 9))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(WeightedK)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id").asc)))
+        .select(col("rnk"), col("doc_id"), col("n_chars"),
+          round(col("key"), 6).as("key"))
+        .orderBy("rnk")
     },
 
     // Deterministic stratified sample: exactly k docs per language,

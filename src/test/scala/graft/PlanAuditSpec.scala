@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_rank", // row_number over the post-limit top-20 scored docs
     "q_hybrid_rank", // RRF rank over two post-limit top-20 ranked lists
     "q_shard_balance", // share-of-total over the 16-row shard aggregate
-    "q_skew_report") // rank over the top-10 key rows + 1-row global stats
+    "q_skew_report", // rank over the top-10 key rows + 1-row global stats
+    "q_sample_weighted") // row_number over the post-limit top-50 A-ES keys
 
   test("unpartitioned windows only over provably domain-bounded frames") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -58,6 +58,31 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === Set("src0", "src1", "src2"))
   }
 
+  test("weighted A-ES sample: keys rank-consistent, size exact, stable") {
+    val rows = SparkEntry.queries("q_sample_weighted")(spark, sfDir).collect()
+    val eligible = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0).count()
+    assert(rows.length === math.min(operators.Sampling.WeightedK, eligible))
+    // ranks contiguous from 1, keys non-increasing along the ranking
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
+    val keys = rows.map(_.getAs[Double]("key")).toSeq
+    assert(keys === keys.sorted.reverse)
+    // ln(u)/w keys are strictly negative (u in (0,1], w > 0) and every
+    // sampled doc carries a positive weight
+    assert(keys.forall(_ <= 0.0))
+    assert(rows.forall(_.getAs[Long]("n_chars") > 0))
+    // A-ES favors heavy docs: the sample's mean weight must exceed the
+    // corpus mean (a length-weighted draw that did NOT would be broken)
+    val corpusMean = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0).agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    // determinism across executions
+    val again = SparkEntry.queries("q_sample_weighted")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("temperature mixture: weights sum to 1 and flatten toward uniform") {
     val rows = SparkEntry.queries("q_mixture_temperature")(spark, sfDir)
       .collect()
