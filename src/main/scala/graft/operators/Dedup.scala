@@ -185,16 +185,42 @@ object Dedup {
 
   /** Band explosion over a frame that ALREADY carries mh00..mh15 — lets
     * consumers of the memoized signature frame band without re-running
-    * the 16 array folds.
+    * the 16 array folds. `carry` columns ride along unchanged (the
+    * streaming twin needs the arrival timestamp next to each band key).
     */
-  private def bandsFromSig(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(array(
+  private def bandsFromSig(sig: DataFrame,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val kept = (col("doc_id") +: carry.map(col)) :+ explode(array(
       (0 until 4).map { g =>
         struct(lit(g).as("g"),
           concat_ws(",",
             (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.g").as("g"), col("band.k").as("k"))
+      }: _*)).as("band")
+    sig.select(kept: _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("band.g").as("g") :+ col("band.k").as("k"): _*)
+  }
+
+  /** Band keys for an ARBITRARY (doc_id, text, …) frame — the full
+    * tokenize → hash → shingle → MinHash → band chain of the memoized
+    * batch path, expressed stateless and map-side so a STREAMING frame
+    * can run it per micro-batch (streaming/Streams.lshDedupStream).
+    * Docs with no shingles (< 3 tokens) emit no bands — same contract as
+    * every banded batch consumer. `carry` columns ride along.
+    */
+  def bandKeysFor(docs: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
+    import graft.functions.TextHash._
+    val sig = docs
+      .withColumn("__toks", expr(tokensSpark("text")))
+      .withColumn("__th", expr(hashArraySpark("__toks")))
+      .withColumn("hs", expr(shingleHashesSpark("__th")))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id") +: carry.map(col) :+ col("hs"): _*)
+    bandsFromSig(sig.select(
+      (col("doc_id") +: carry.map(col)) ++
+        minhashExprs.map { case (j, spark, _) => expr(spark).as(f"mh$j%02d") }: _*),
+      carry)
+  }
 
   /** 16 MinHash values as (sparkExpr, duckExpr) pairs over hash-array col hs. */
   private def minhashExprs: Seq[(Int, String, String)] =

@@ -389,5 +389,84 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LSH dedup stream: bucket claims across micro-batches = batch ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real sf0.001 corpus (it contains genuine near-dup pairs); arrival
+    // micros = doc_id so the arrival order is the id order and ties are
+    // impossible by construction — tie handling is pinned separately below
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    // batch referee over the SAME band chain: per (g, k) bucket the
+    // (micros, doc_id)-first arrival claims it, every later one is a dup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "k").orderBy("micros", "doc_id")
+    val want = operators.Dedup.bandKeysFor(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("doc_id").as("micros"), col("text")),
+        carry = Seq("micros"))
+      .withColumn("first_doc", first("doc_id").over(w))
+      .withColumn("dup", col("doc_id") =!= col("first_doc"))
+      .select("doc_id", "g", "k", "dup", "first_doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4))).toSet
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.lshDedupStream(
+        mem.toDF.toDF("doc_id", "micros", "text"))
+      .writeStream.format("memory").queryName("lshstream")
+      .outputMode("append").start()
+    try {
+      val third = docs.length / 3
+      mem.addData(docs.take(third).toSeq); q.processAllAvailable()
+      mem.addData(docs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+      mem.addData(docs.drop(2 * third).toSeq); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, g, k, dup, first_doc FROM lshstream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3),
+          r.getLong(4))).toSet
+      assert(got === want)
+      // the corpus genuinely exercises both verdicts
+      assert(got.exists(_._4) && got.exists(!_._4))
+      // doc-level rollup: near-dup iff ANY band collided — and every
+      // batch near-dup candidate pair's b-side doc is flagged
+      val dupDocs = got.collect { case (id, _, _, true, _) => id }
+      val candB = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir)
+        .collect().map(_.getLong(1)).toSet
+      assert(candB.forall(dupDocs.contains),
+        "a batch LSH candidate pair's later doc was not flagged by the stream")
+    } finally q.stop()
+  }
+
+  test("LSH dedup stream: same-micros tie inside one batch goes to lower id") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.lshDedupStream(
+        mem.toDF.toDF("doc_id", "micros", "text"))
+      .writeStream.format("memory").queryName("lshtie")
+      .outputMode("append").start()
+    try {
+      // identical text, identical micros, one micro-batch, higher id first
+      mem.addData(Seq((7L, 100L, text), (3L, 100L, text)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dup, first_doc FROM lshtie")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      assert(rows.forall { case (id, dup, f) => f == 3L && dup == (id != 3L) })
+      // a later batch arrival into the same buckets is a dup of the claimer
+      mem.addData(Seq((1L, 200L, text))); q.processAllAvailable()
+      val later = spark.sql(
+        "SELECT DISTINCT dup, first_doc FROM lshtie WHERE doc_id = 1")
+        .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+      assert(later.toSeq === Seq((true, 3L)),
+        "cross-batch arrival must defer to the established claim, id order notwithstanding")
+    } finally q.stop()
+  }
+
   private def ts(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
 }
