@@ -430,6 +430,82 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // PRODUCT QUANTIZATION (encode + ADC search): split the 64-dim int8
+    // vectors into 8 subspaces of 8 dims, encode each subvector as the id
+    // of its nearest codeword (codebook = the 4 seed vectors' subvectors,
+    // the same lowest-vec_id seed discipline as the IVF trainer; argmin
+    // with the tie to the lower codeword), then answer queries by
+    // ASYMMETRIC DISTANCE: per query, an 8x4 table of exact
+    // subvector-to-codeword distances, and each candidate's approximate
+    // distance is the sum of 8 table lookups selected by its code.
+    // Everything is INTEGER (squared L2 on int8 values) — bit-identical
+    // across engines, no rounding discipline needed.
+    //
+    // Scale shape: the codebook and the per-query tables are m*K-bounded
+    // broadcasts (32 rows here; a few MB at production K) — the corpus
+    // side is ONE argmin aggregate per (vector, subspace) at encode time
+    // (the written PQ index at 100 TB) and one code-indexed lookup join +
+    // per-(query, candidate) sum at serve time. ADC is the compressed
+    // linear scan PQ exists for; pair it with the IVF cells (q_ann_ivf_
+    // trained) for the pruned IVF-PQ form.
+    Q("q_ann_pq",
+      s"""WITH $quantizedDuck,
+         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |sub AS (SELECT vec_id, j,
+         |    list_transform(generate_series(1, 8), i -> qv[8 * j + i]) AS sv
+         |  FROM q8, js),
+         |cb AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 4),
+         |enc0 AS (SELECT s.vec_id, s.j, cb.c,
+         |    CAST(list_sum(list_transform(generate_series(1, 8),
+         |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))) AS BIGINT)
+         |      AS dist
+         |  FROM sub s JOIN cb ON s.j = cb.j),
+         |code AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
+         |        AS rn
+         |    FROM enc0) t WHERE rn = 1),
+         |qt AS (SELECT vec_id AS q_id, j, c, dist FROM enc0
+         |  WHERE vec_id < 10),
+         |adc AS (SELECT q.q_id, d.vec_id AS nn_id,
+         |    CAST(sum(q.dist) AS BIGINT) AS adist
+         |  FROM code d JOIN qt q ON d.j = q.j AND d.c = q.c
+         |  WHERE d.vec_id <> q.q_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, nn_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, nn_id)
+         |      AS rnk
+         |  FROM adc)
+         |SELECT q_id, rnk, nn_id, adist FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val sub = quantizedVecs(s, d).select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> struct(j AS j, " +
+          "transform(sequence(1, 8), i -> element_at(qv, 8 * j + i)) AS sv))"))
+        .as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      val cb = sub.where(col("vec_id") < 4)
+        .select(col("j"), col("vec_id").as("c"), col("sv").as("cv"))
+      val enc0 = sub.join(broadcast(cb), Seq("j"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 AS bigint), (a, x) -> a + x)"))
+      // argmin as min(struct(dist, c)) — map-side combinable, tie to the
+      // lower codeword exactly like the oracle's (dist, c) row_number
+      val code = enc0.groupBy("vec_id", "j")
+        .agg(min(struct(col("dist"), col("c"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.c").as("c"))
+      val qt = enc0.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("j"), col("c"), col("dist"))
+      val adc = code.join(broadcast(qt), Seq("j", "c"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("nn_id"))
+        .agg(sum("dist").as("adist"))
+      val w = Window.partitionBy("q_id").orderBy(asc("adist"), asc("nn_id"))
+      adc.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "adist")
+        .orderBy("q_id", "rnk")
+    },
+
     // Brute-force cosine top-3 for query vectors vec_id < 10.
     Q("q_ann_brute",
       s"""WITH $duckVecs,
