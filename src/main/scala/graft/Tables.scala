@@ -88,6 +88,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes coalesced partitions by shuffle BYTES (floor 1 MiB),
+      // which serializes compute-bound stages whose rows are heavy but
+      // small — pair emission, window recompute, array folds all landed
+      // on 1-4 tasks at bench scale. A 64 KiB floor keeps those stages
+      // wide while still collapsing genuinely empty partitions; at
+      // production scale partitions dwarf either floor and this is moot
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // let persisted frames KEEP their output partitioning (off by
       // default under AQE): the memoized shared frames are deliberately
       // persisted pre-partitioned on their join keys, and with this off
