@@ -85,6 +85,20 @@ object Dedup {
     ex0.join(broadcast(hot), Seq("hsh"), "left_anti")
   }
 
+  /** The fraction-capped postings, memoized + pre-partitioned on hsh —
+    * shared by q_dedup_ngram_fcapped (its self-join rides the cached
+    * partitioning) and q_boilerplate (per-doc kept-postings counts: a doc's
+    * boilerplate shingles are exactly the ones the cap dropped).
+    */
+  private def fcappedPostings(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"fcapped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac",
+      cappedPostingsByFrac(
+        shingled(s, d).where(size(col("hs")) > 0)
+          .select(col("doc_id"), col("hs")),
+        maxDfFrac = NgramMaxDfFrac).repartition(col("hsh")).persist())
+
   /** Inverted-index Jaccard pairs over a postings frame (doc_id, hsh):
     * per-doc sizes recomputed from the (possibly capped) postings so the
     * Jaccard stays well-defined on the filtered shingle space. The postings
@@ -715,12 +729,7 @@ object Dedup {
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       // pre-partitioned on hsh like the absolute-cap postings — the
       // per-run self-join rides the cached partitioning, no exchange
-      val ex = graft.Caches.getOrElseUpdate(
-        s"fcapped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac",
-        cappedPostingsByFrac(
-          shingled(s, d).where(size(col("hs")) > 0)
-            .select(col("doc_id"), col("hs")),
-          maxDfFrac = NgramMaxDfFrac).repartition(col("hsh")).persist())
+      val ex = fcappedPostings(s, d)
       // pair frame memoized like the absolute-cap variant — at the
       // fractional cap (df <= 50 at sf0.1) the pair emission is the
       // suite's heaviest stage, and it rebuilds the same tiny index
@@ -1011,6 +1020,104 @@ object Dedup {
         .where(col("rn") === 1)
         .select(col("doc_id"), col("bench_id"), col("n_shared"),
           (col("n_shared") >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // BLOOM-PREFILTERED DECONTAMINATION: the same benchmark-overlap check
+    // with the candidate generation Spark's own runtime filtering uses at
+    // scale — ONE bloom filter built over the benchmark postings (size
+    // pinned by numBits, independent of corpus size) ships to executors
+    // as a literal and prunes the training postings AT THE SCAN, so only
+    // might-contain survivors flow into the exact join. False positives
+    // are discarded by the join; false negatives are impossible; the
+    // result is byte-identical to the unfiltered plan — which is why the
+    // DuckDB oracle is plain exact SQL. At 100 TB this is the difference
+    // between shuffling the full training postings stream and shuffling
+    // ~the contamination rate of it. Benchmark slice: doc_id 10-59
+    // (disjoint from q_text_decontaminate's eval set; benchmark suites
+    // are fixed-size, so the broadcast side stays bounded at any corpus
+    // scale).
+    Q("q_decontaminate_bloom",
+      s"""WITH $shingledDuck,
+         |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
+         |bench AS (SELECT doc_id AS bench_id, hsh FROM e
+         |  WHERE doc_id BETWEEN 10 AND 59),
+         |train AS (SELECT doc_id, hsh FROM e
+         |  WHERE doc_id < 10 OR doc_id > 59),
+         |ov AS (SELECT t.doc_id, bn.bench_id, count(*) AS n_shared
+         |  FROM train t JOIN bench bn ON t.hsh = bn.hsh
+         |  GROUP BY 1, 2),
+         |best AS (SELECT doc_id, bench_id, n_shared FROM (
+         |    SELECT doc_id, bench_id, n_shared,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY n_shared DESC, bench_id) AS rn
+         |    FROM ov) t WHERE rn = 1)
+         |SELECT doc_id, bench_id, n_shared, n_shared >= 3 AS contaminated
+         |FROM best ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ex = shingled(s, d).where(size(col("hs")) > 0)
+        .select(col("doc_id"), explode(col("hs")).as("hsh"))
+      val isBench = col("doc_id").between(10, 59)
+      val bench = ex.where(isBench)
+        .select(col("doc_id").as("bench_id"), col("hsh"))
+      // one bounded driver round-trip: the filter is numBits/8 bytes by
+      // construction (128 KiB here) no matter how many postings fed it
+      val bloom = graft.functions.Bloom.buildFilter(
+        bench.select("hsh"), expectedItems = 1L << 16, numBits = 1L << 20)
+      val train = ex.where(!isBench)
+      val pruned = bloom match {
+        case Some(bf) =>
+          train.where(graft.functions.Bloom.mightContain(bf, col("hsh")))
+        case None => train.where(lit(false)) // empty benchmark → no overlap
+      }
+      val ov = pruned.join(broadcast(bench), Seq("hsh"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("n_shared"), asc("bench_id"))
+      ov.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"),
+          (col("n_shared") >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // BOILERPLATE SHARE (CCNet/C4-style common-content removal signal):
+    // per-document fraction of shingles that are corpus boilerplate —
+    // shingles present in more than ceil(frac·N) documents, the SAME
+    // fractional df cap the capped dedup family uses. Complements
+    // q_novelty (first-seen share — order-dependent provenance) and
+    // q_text_repetition (WITHIN-doc duplication): this is the cross-doc
+    // template signal a 100 TB curation pass thresholds on before
+    // training. Computed as n_shingles − kept-postings count, so it
+    // REUSES the memoized fraction-capped postings frame — the cap
+    // already dropped exactly the boilerplate postings; no second
+    // df pass exists in the plan.
+    Q("q_boilerplate",
+      s"""WITH $shingledDuck,
+         |b AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |e0 AS (SELECT doc_id, unnest(hs) AS hsh FROM b),
+         |cap AS (SELECT CAST(ceil($NgramMaxDfFrac * count(*)) AS BIGINT)
+         |    AS maxdf FROM b),
+         |hot AS (SELECT hsh FROM e0 GROUP BY 1
+         |  HAVING count(*) > (SELECT maxdf FROM cap)),
+         |nk AS (SELECT doc_id, count(*) AS n_kept FROM e0
+         |  WHERE hsh NOT IN (SELECT hsh FROM hot) GROUP BY 1)
+         |SELECT b.doc_id, len(b.hs) AS n_shingles,
+         |  len(b.hs) - coalesce(nk.n_kept, 0) AS n_common,
+         |  round((len(b.hs) - coalesce(nk.n_kept, 0))::DOUBLE / len(b.hs),
+         |    6) AS boilerplate_ratio
+         |FROM b LEFT JOIN nk USING (doc_id) ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val base = shingled(s, d).where(size(col("hs")) > 0)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      val kept = fcappedPostings(s, d)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      val nCommon = col("n_shingles") - coalesce(col("n_kept"), lit(0L))
+      base.join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_shingles"),
+          nCommon.as("n_common"),
+          round(nCommon.cast("double") / col("n_shingles"), 6)
+            .as("boilerplate_ratio"))
         .orderBy("doc_id")
     },
 

@@ -100,6 +100,47 @@ class DedupSpec extends SparkSpec {
     assert(!rows.contains(12L)) // zero overlap -> not even a candidate
   }
 
+  test("bloom decontamination equals the exact unfiltered plan at sf0.001") {
+    // the bloom is only a candidate pruner: any divergence from the plain
+    // exact join means a false NEGATIVE, which must never happen
+    import graft.functions.TextHash._
+    val ex = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(tokensSpark("text")))
+      .withColumn("hs", expr(shinglesSpark("toks")))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("hsh"))
+    val isBench = col("doc_id").between(10, 59)
+    val bench = ex.where(isBench).select(col("doc_id").as("bench_id"), col("hsh"))
+    val exact = ex.where(!isBench).join(bench, Seq("hsh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(desc("n_shared"), asc("bench_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed === exact)
+    assert(bloomed.nonEmpty) // the slice overlaps at this sf — a real check
+  }
+
+  test("boilerplate ratio: dup docs fully common, unique doc zero") {
+    // fixture corpus N=4 -> frac cap ceil(0.01*4)=1: a shingle is
+    // boilerplate iff it appears in >= 2 docs. Docs 0/1 are identical
+    // (every shingle shared), doc 3 shares nothing, doc 2 sits between.
+    val rows = run("q_boilerplate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(0L)._3 === 1.0)
+    assert(rows(1L)._3 === 1.0)
+    assert(rows(3L)._3 === 0.0)
+    assert(rows(2L)._3 > 0.0 && rows(2L)._3 < 1.0)
+    rows.values.foreach { case (n, c, ratio) =>
+      assert(c >= 0 && c <= n)
+      assert(math.abs(ratio - c.toDouble / n) < 1e-6 + 1e-9)
+    }
+  }
+
   test("connected components converge on a path graph (diameter > 1)") {
     // chain 10-20-30-40 plus isolated edge 50-60: label 10 must propagate
     // three hops — exercises the fixpoint loop beyond dense quasi-cliques
