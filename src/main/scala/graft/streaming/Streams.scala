@@ -192,6 +192,63 @@ object Streams {
       .select(keep :+ col("w_sum"): _*)
   }
 
+  /** Stateless streaming benchmark screen — q_decontaminate_bloom's
+    * in-flight form: tag each arriving document with its best benchmark
+    * overlap BEFORE it reaches the training sink. Both stages are
+    * MAP-SIDE (no state, no shuffle, no watermark): the bloom prescreen
+    * rejects clean documents at the cost of one probe per shingle
+    * (`exists` short-circuits on the first hit), and only survivors pay
+    * the exact verify against the literal benchmark postings — sound
+    * because a bloom false negative is impossible, so a prescreen reject
+    * PROVES zero shared shingles. Benchmark suites are fixed-size, which
+    * is what licenses shipping their postings as a literal (the
+    * broadcast-the-model form, same as [[clfFilterStream]]'s weights).
+    * Tie-break matches the batch query: max shared count, then lowest
+    * bench id (encoded as max of struct(n, -id)).
+    *
+    * `bench` is (bench_id, distinct shingle hashes); pass `bloom = None`
+    * for an empty benchmark (every document tags clean). Batch twin
+    * parity is pinned in StreamsSpec against q_decontaminate_bloom.
+    */
+  def decontaminateStream(docs: DataFrame, bench: Seq[(Long, Seq[Long])],
+      bloom: Option[Array[Byte]], minShared: Long = 3L): DataFrame = {
+    import graft.functions.TextHash._
+    val keep = docs.columns.map(col)
+    if (bench.isEmpty) // empty benchmark: everything tags clean
+      return docs.select(keep ++ Seq(
+        lit(null).cast("long").as("bench_id"),
+        lit(0L).as("n_shared"), lit(false).as("contaminated")): _*)
+    // structural literal: Spark 4.1's literal column node re-validates
+    // the already-converted catalyst value as if it were the Scala value
+    // and rejects any composite (typedLit of seq-of-tuples, bridged
+    // Literal.create — both fail with "GenericArrayData found"), so the
+    // benchmark table is built from the primitive-array form lit()
+    // does handle — ConstantFolding collapses it to one constant
+    val benchLit = array(bench.map { case (id, hs) =>
+      struct(lit(id).as("_1"), lit(hs.toArray).as("_2"))
+    }: _*)
+    val pass = bloom match {
+      case Some(bf) =>
+        exists(col("__hs"), x => graft.functions.Bloom.mightContain(bf, x))
+      case None => lit(false)
+    }
+    val best = array_max(transform(benchLit, b =>
+      struct(
+        size(array_intersect(col("__hs"), b.getField("_2"))).as("n"),
+        negate(b.getField("_1")).as("nid"))))
+    val nShared = coalesce(col("__best").getField("n").cast("long"), lit(0L))
+    docs
+      .withColumn("__toks", expr(tokensSpark("text")))
+      .withColumn("__th", expr(hashArraySpark("__toks")))
+      .withColumn("__hs", expr(shingleHashesSpark("__th")))
+      .withColumn("__best", when(pass, best))
+      .select(keep ++ Seq(
+        when(col("__best").getField("n") > 0,
+          negate(col("__best").getField("nid"))).as("bench_id"),
+        nShared.as("n_shared"),
+        (nShared >= minShared).as("contaminated")): _*)
+  }
+
   /** Input/output rows for [[personalRecordStream]]. `event_id` is part of
     * the contract, not decoration: the batch twin (q_record_events) breaks
     * same-timestamp ties on (ts, event_id), and without the id the stream

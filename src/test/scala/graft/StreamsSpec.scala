@@ -196,6 +196,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming benchmark screen tags exactly the batch bloom-decontamination rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextHash._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // benchmark = the batch query's slice (doc_id 10-59) with its
+    // distinct shingle hashes + the bloom built over them
+    val withHs = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(tokensSpark("text")))
+      .withColumn("th", expr(hashArraySpark("toks")))
+      .withColumn("hs", expr(shingleHashesSpark("th")))
+    val bench = withHs.where(col("doc_id").between(10, 59))
+      .select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toSeq
+    val bloom = functions.Bloom.buildFilter(
+      withHs.where(col("doc_id").between(10, 59))
+        .select(explode(col("hs")).as("hsh")),
+      expectedItems = 1L << 16, numBits = 1L << 20)
+    val batch = SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val train = Tables.documents(spark, sfDir)
+      .where(!col("doc_id").between(10, 59))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text"), bench, bloom)
+      .writeStream.format("memory").queryName("deconstream")
+      .outputMode("append").start()
+    try {
+      val (h, t) = train.splitAt(train.length / 2)
+      mem.addData(h.toSeq); q.processAllAvailable() // stateless ⇒ split
+      mem.addData(t.toSeq); q.processAllAvailable() // must not matter
+      val rows = spark.sql(
+        "SELECT doc_id, bench_id, n_shared, contaminated FROM deconstream")
+        .collect()
+      assert(rows.length === train.length) // every arriving doc is tagged
+      val overlapping = rows.filter(_.getLong(2) >= 1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(overlapping === batch) // same rows, same best bench, same flag
+      assert(batch.nonEmpty) // the slice overlaps at sf0.001 — a real pin
+    } finally q.stop()
+  }
+
   test("funnel stream advances in order across micro-batches = batch funnel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
