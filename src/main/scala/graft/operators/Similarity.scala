@@ -85,6 +85,76 @@ object Similarity {
         .select("vec_id", "qv", "qn")
         .persist())
 
+  // ------------------------------------------------- product quantization
+
+  /** DuckDB CTE fragment continuing a chain that provides `q8(vec_id,
+    * qv)`: PQ encode — 8 subspaces of 8 dims, codebook = the 4 lowest-id
+    * vectors' subvectors, argmin with tie to the lower codeword — ending
+    * in `code(vec_id, j, c)` and the per-query distance tables
+    * `qt(q_id, j, c, dist)`. Shared by q_ann_pq (full ADC scan) and
+    * q_ann_ivfpq (cell-pruned ADC).
+    */
+  private val pqDuckChain: String =
+    s"""js AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |sub AS (SELECT vec_id, j,
+       |    list_transform(generate_series(1, 8), i -> qv[8 * j + i]) AS sv
+       |  FROM q8, js),
+       |cb AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 4),
+       |enc0 AS (SELECT s.vec_id, s.j, cb.c,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))) AS BIGINT)
+       |      AS dist
+       |  FROM sub s JOIN cb ON s.j = cb.j),
+       |code AS (SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
+       |        AS rn
+       |    FROM enc0) t WHERE rn = 1),
+       |qt AS (SELECT vec_id AS q_id, j, c, dist FROM enc0
+       |  WHERE vec_id < 10)""".stripMargin
+
+  /** Per-(vector, subspace) codeword distances — the shared intermediate
+    * both PQ frames cut from.
+    */
+  private def pqEnc0(s: SparkSession, d: String): DataFrame = {
+    val sub = quantizedVecs(s, d).select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 7), j -> struct(j AS j, " +
+        "transform(sequence(1, 8), i -> element_at(qv, 8 * j + i)) AS sv))"))
+      .as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val cb = sub.where(col("vec_id") < 4)
+      .select(col("j"), col("vec_id").as("c"), col("sv").as("cv"))
+    sub.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 AS bigint), (a, x) -> a + x)"))
+  }
+
+  /** The written PQ index: one code per (vector, subspace) — argmin as
+    * min(struct(dist, c)), map-side combinable, tie to the lower codeword
+    * exactly like the oracle's (dist, c) row_number. Persisted per
+    * directory (serve-model discipline — at 100 TB this is the silver
+    * code table the searches read).
+    */
+  private def pqCode(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"pq-code:$d:${graft.Caches.fingerprint(s, d)}",
+      pqEnc0(s, d).groupBy("vec_id", "j")
+        .agg(min(struct(col("dist"), col("c"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.c").as("c"))
+        .persist())
+
+  /** Asymmetric-distance tables for the query set (vec_id < 10): 8×4
+    * exact subvector-to-codeword distances per query — m·K-bounded, the
+    * broadcast side of every ADC join.
+    */
+  private def pqQueryTables(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"pq-qt:$d:${graft.Caches.fingerprint(s, d)}",
+      pqEnc0(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("j"), col("c"), col("dist"))
+        .persist())
+
   /** DuckDB CTE chain ending in `q8(vec_id, qv)` — the oracle half of
     * [[quantizedVecs]] (qn recomputed where needed).
     */
@@ -450,23 +520,7 @@ object Similarity {
     // trained) for the pruned IVF-PQ form.
     Q("q_ann_pq",
       s"""WITH $quantizedDuck,
-         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-         |sub AS (SELECT vec_id, j,
-         |    list_transform(generate_series(1, 8), i -> qv[8 * j + i]) AS sv
-         |  FROM q8, js),
-         |cb AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 4),
-         |enc0 AS (SELECT s.vec_id, s.j, cb.c,
-         |    CAST(list_sum(list_transform(generate_series(1, 8),
-         |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))) AS BIGINT)
-         |      AS dist
-         |  FROM sub s JOIN cb ON s.j = cb.j),
-         |code AS (SELECT vec_id, j, c FROM (
-         |    SELECT vec_id, j, c,
-         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
-         |        AS rn
-         |    FROM enc0) t WHERE rn = 1),
-         |qt AS (SELECT vec_id AS q_id, j, c, dist FROM enc0
-         |  WHERE vec_id < 10),
+         |$pqDuckChain,
          |adc AS (SELECT q.q_id, d.vec_id AS nn_id,
          |    CAST(sum(q.dist) AS BIGINT) AS adist
          |  FROM code d JOIN qt q ON d.j = q.j AND d.c = q.c
@@ -477,25 +531,50 @@ object Similarity {
          |  FROM adc)
          |SELECT q_id, rnk, nn_id, adist FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val sub = quantizedVecs(s, d).select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), j -> struct(j AS j, " +
-          "transform(sequence(1, 8), i -> element_at(qv, 8 * j + i)) AS sv))"))
-        .as("s"))
-        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      val cb = sub.where(col("vec_id") < 4)
-        .select(col("j"), col("vec_id").as("c"), col("sv").as("cv"))
-      val enc0 = sub.join(broadcast(cb), Seq("j"))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 AS bigint), (a, x) -> a + x)"))
-      // argmin as min(struct(dist, c)) — map-side combinable, tie to the
-      // lower codeword exactly like the oracle's (dist, c) row_number
-      val code = enc0.groupBy("vec_id", "j")
-        .agg(min(struct(col("dist"), col("c"))).as("m"))
-        .select(col("vec_id"), col("j"), col("m.c").as("c"))
-      val qt = enc0.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("j"), col("c"), col("dist"))
-      val adc = code.join(broadcast(qt), Seq("j", "c"))
+      val adc = pqCode(s, d).join(broadcast(pqQueryTables(s, d)), Seq("j", "c"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("nn_id"))
+        .agg(sum("dist").as("adist"))
+      val w = Window.partitionBy("q_id").orderBy(asc("adist"), asc("nn_id"))
+      adc.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("q_id", "rnk", "nn_id", "adist")
+        .orderBy("q_id", "rnk")
+    },
+
+    // IVF-PQ: the two trained structures composed the way a production
+    // ANN index deploys them — the coarse quantizer (the 2-Lloyd-
+    // iteration IVF cells of q_ann_ivf_trained) prunes candidates to the
+    // query's cell, and the PQ codes answer the distance for the
+    // survivors by the same 8-lookup asymmetric sum. At 100 TB the scan
+    // touches one cell's codes (nprobe=1) instead of every code — the
+    // memory-resident form of inverted-file search. Still all-integer,
+    // so the oracle is exact; cell restriction is an equi-join on cid
+    // (corpus side) against the broadcast query cells.
+    Q("q_ann_ivfpq",
+      s"""WITH $kmeansDuck,
+         |$pqDuckChain,
+         |cells AS (SELECT vec_id, cid FROM a2),
+         |qc AS (SELECT q.q_id, q.j, q.c, q.dist, cl.cid
+         |  FROM qt q JOIN cells cl ON cl.vec_id = q.q_id),
+         |adc AS (SELECT q.q_id, d.vec_id AS nn_id,
+         |    CAST(sum(q.dist) AS BIGINT) AS adist
+         |  FROM code d
+         |  JOIN cells dc ON dc.vec_id = d.vec_id
+         |  JOIN qc q ON d.j = q.j AND d.c = q.c AND dc.cid = q.cid
+         |  WHERE d.vec_id <> q.q_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, nn_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, nn_id)
+         |      AS rnk
+         |  FROM adc)
+         |SELECT q_id, rnk, nn_id, adist FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val cells = kmeansAssign(s, d).select("vec_id", "cid")
+      val qc = pqQueryTables(s, d)
+        .join(broadcast(cells.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("cid"))), Seq("q_id"))
+      val adc = pqCode(s, d).join(cells, Seq("vec_id"))
+        .join(broadcast(qc), Seq("j", "c", "cid"))
         .where(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id").as("nn_id"))
         .agg(sum("dist").as("adist"))

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_train", // broadcast K=4 centroid rows per Lloyd iteration
     "q_kl_drift", // 1-row corpus token total onto vocab-bounded terms
     "q_ann_ivf_trained", // same K=4 centroid broadcast via kmeansAssign
+    "q_ann_ivfpq", // same K=4 centroid broadcast via kmeansAssign
     "q_semdedup", // same K=4 centroid broadcast via kmeansAssign
     "q_similarity_score", // 1-row target
     "q_type_distribution", // 1-row total

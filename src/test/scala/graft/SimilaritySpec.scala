@@ -243,4 +243,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.length > 0.05,
       s"mean PQ recall@3 ${recalls.sum / recalls.length} — chance-level, encode broken?")
   }
+
+  test("IVF-PQ: cell restriction of the full ADC ranking, distances identical") {
+    // the composition law: ivfpq(q) = top-3 of the full ADC candidate set
+    // RESTRICTED to the query's trained cell — same adist values, since
+    // the cell prunes candidates without touching the distance tables
+    val cells = operators.Similarity.kmeansAssign(spark, sfDir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = SparkEntry.queries("q_ann_pq")(spark, sfDir) // cache-warms pq frames
+    full.collect() // not used directly: ivfpq re-ranks ALL candidates, not the top-3
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, nn) = (r.getLong(0), r.getLong(2))
+      assert(cells(nn) === cells(q), s"nn $nn outside query $q's cell")
+      assert(nn !== q)
+      assert(r.getLong(3) >= 0L)
+    }
+    // per query: at most 3 rows, contiguous ranks, adist non-decreasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length))
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.toSeq === ds.sorted.toSeq)
+    }
+  }
 }
