@@ -155,6 +155,27 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("j"), col("c"), col("dist"))
         .persist())
 
+  /** Cell-pruned ADC top-3 `(q_id, rnk, nn_id, adist)` — the IVF-PQ
+    * serve path, shared by q_ann_ivfpq and q_ivfpq_recall. All inputs
+    * (pq-code, pq-qt, ivf-assign) are the memoized serve frames; what
+    * remains per run is one broadcast join + a per-query window.
+    */
+  private def ivfpqTop3(s: SparkSession, d: String): DataFrame = {
+    val cells = kmeansAssign(s, d).select("vec_id", "cid")
+    val qc = pqQueryTables(s, d)
+      .join(broadcast(cells.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cid"))), Seq("q_id"))
+    val adc = pqCode(s, d).join(cells, Seq("vec_id"))
+      .join(broadcast(qc), Seq("j", "c", "cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("nn_id"))
+      .agg(sum("dist").as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(asc("adist"), asc("nn_id"))
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select("q_id", "rnk", "nn_id", "adist")
+  }
+
   /** DuckDB CTE chain ending in `q8(vec_id, qv)` — the oracle half of
     * [[quantizedVecs]] (qn recomputed where needed).
     */
@@ -569,20 +590,51 @@ object Similarity {
          |  FROM adc)
          |SELECT q_id, rnk, nn_id, adist FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val cells = kmeansAssign(s, d).select("vec_id", "cid")
-      val qc = pqQueryTables(s, d)
-        .join(broadcast(cells.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("cid"))), Seq("q_id"))
-      val adc = pqCode(s, d).join(cells, Seq("vec_id"))
-        .join(broadcast(qc), Seq("j", "c", "cid"))
-        .where(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id").as("nn_id"))
-        .agg(sum("dist").as("adist"))
-      val w = Window.partitionBy("q_id").orderBy(asc("adist"), asc("nn_id"))
-      adc.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select("q_id", "rnk", "nn_id", "adist")
-        .orderBy("q_id", "rnk")
+      ivfpqTop3(s, d).orderBy("q_id", "rnk")
+    },
+
+    // RECALL@3 of the IVF-PQ search vs the exact integer-cosine ranking —
+    // the combined quality number the two stages' own evals bound from
+    // above: losses come from the cell restriction (q_ivf_recall's cost)
+    // AND the code compression (q_ann_pq's cross-metric floor), so this
+    // is the number a deployment actually ships with. LEFT join keeps
+    // zero-hit queries visible as recall 0 rows.
+    Q("q_ivfpq_recall",
+      s"""WITH $kmeansDuck,
+         |n8 AS (SELECT vec_id, qv,
+         |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
+         |  FROM q8),
+         |$bruteTopDuck,
+         |$pqDuckChain,
+         |cells AS (SELECT vec_id, cid FROM a2),
+         |qc AS (SELECT q.q_id, q.j, q.c, q.dist, cl.cid
+         |  FROM qt q JOIN cells cl ON cl.vec_id = q.q_id),
+         |adc AS (SELECT q.q_id, d.vec_id AS nn_id,
+         |    CAST(sum(q.dist) AS BIGINT) AS adist
+         |  FROM code d
+         |  JOIN cells dc ON dc.vec_id = d.vec_id
+         |  JOIN qc q ON d.j = q.j AND d.c = q.c AND dc.cid = q.cid
+         |  WHERE d.vec_id <> q.q_id GROUP BY 1, 2),
+         |pr AS (SELECT q_id, nn_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, nn_id)
+         |      AS rnk
+         |  FROM adc)
+         |SELECT b.q_id, count(t.nn_id) AS n_hits,
+         |  round(CAST(count(t.nn_id) AS DOUBLE) / 3, 6) AS recall
+         |FROM (SELECT q_id, nn_id FROM br WHERE rnk <= 3) b
+         |LEFT JOIN (SELECT q_id, nn_id FROM pr WHERE rnk <= 3) t
+         |  ON t.q_id = b.q_id AND t.nn_id = b.nn_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val b3 = quantTop3(s, d).select("q_id", "nn_id")
+      val t3 = ivfpqTop3(s, d)
+        .select(col("q_id").as("tq"), col("nn_id").as("t_nn"))
+      b3.join(broadcast(t3),
+          col("q_id") === col("tq") && col("nn_id") === col("t_nn"),
+          "left_outer")
+        .groupBy("q_id")
+        .agg(count(col("t_nn")).as("n_hits"),
+          round(count(col("t_nn")).cast("double") / 3, 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // Brute-force cosine top-3 for query vectors vec_id < 10.

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_recall", // same broadcast ≤10-row query set (ground-truth stage)
     "q_ann_ndcg", // same broadcast ≤10-row query set (graded eval)
     "q_ivf_recall", // same broadcast ≤10-row query set (IVF eval)
+    "q_ivfpq_recall", // same ≤10-row query set + K=4 centroid broadcast
     "q_cluster_purity", // 4-row centroid cross join inside kmeansAssign
     "q_tfidf_terms", // 1-row source-count broadcast onto the tf frame
     "q_label_scatter", // broadcast label-count-bounded centroid rows (4)

@@ -269,4 +269,20 @@ class SimilaritySpec extends SparkSpec {
       assert(ds.toSeq === ds.sorted.toSeq)
     }
   }
+
+  test("IVF-PQ recall never exceeds the cell-restriction ceiling") {
+    // theorem: a global-top-3 member inside the cell necessarily ranks in
+    // the cell's exact top-3 (same cosine key), so the exact-within-cell
+    // search (q_ivf_recall) attains the maximum hits the cell allows;
+    // the ADC ordering can only reorder WITHIN the cell — per-query
+    // ivfpq hits <= ivf hits, always
+    val ivf = SparkEntry.queries("q_ivf_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = SparkEntry.queries("q_ivfpq_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq.keySet === ivf.keySet) // both report every query, hits or not
+    pq.foreach { case (q, h) =>
+      assert(h <= ivf(q), s"query $q: ivfpq hits $h > ivf ceiling ${ivf(q)}")
+    }
+  }
 }
