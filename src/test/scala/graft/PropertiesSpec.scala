@@ -579,3 +579,33 @@ object SessionizeStreamProperties extends Properties("graft.streaming.sessionize
       } finally q.stop()
     }
 }
+
+object BloomProperties extends Properties("graft.functions.Bloom") {
+
+  // each case runs two small Spark jobs (build + probe)
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(0, 300).flatMap(n => Gen.listOfN(n, Gen.long))
+
+  property("no false negatives for ANY key set; empty set yields no filter") =
+    forAll(keysGen) { keys =>
+      import spark.implicits._
+      val df = keys.toDF("k")
+      graft.functions.Bloom.buildFilter(df, 1024, 1L << 14) match {
+        case None => keys.isEmpty // NULL aggregate exactly on zero rows
+        case Some(bf) =>
+          keys.nonEmpty && df.where(
+            !graft.functions.Bloom.mightContain(bf, org.apache.spark.sql.functions.col("k")))
+            .count() == 0L
+      }
+    }
+}
