@@ -694,9 +694,11 @@ object Dedup {
       // the PAIR frame is the built dedup index (same index-build-once
       // discipline as the uncapped ngramPairs) — tiny (true near-dups
       // only), while its build is the quadratic half of the query
+      // key carries the Jaccard threshold too (ADVICE r8): a caller at a
+      // different threshold must not be served the 0.5-threshold pairs
       graft.Caches.getOrElseUpdate(
-        s"capped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf",
-        ngramJaccardPairsUnordered(ex)
+        s"capped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf:0.5",
+        ngramJaccardPairsUnordered(ex, threshold = 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("a_id", "b_id")
     },
@@ -733,9 +735,10 @@ object Dedup {
       // pair frame memoized like the absolute-cap variant — at the
       // fractional cap (df <= 50 at sf0.1) the pair emission is the
       // suite's heaviest stage, and it rebuilds the same tiny index
+      // threshold in the key for the same reason as capped-pairs above
       graft.Caches.getOrElseUpdate(
-        s"fcapped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac",
-        ngramJaccardPairsUnordered(ex)
+        s"fcapped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac:0.5",
+        ngramJaccardPairsUnordered(ex, threshold = 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("a_id", "b_id")
     },

@@ -206,9 +206,11 @@ object Streams {
     * Tie-break matches the batch query: max shared count, then lowest
     * bench id (encoded as max of struct(n, -id)).
     *
-    * `bench` is (bench_id, distinct shingle hashes); pass `bloom = None`
-    * for an empty benchmark (every document tags clean). Batch twin
-    * parity is pinned in StreamsSpec against q_decontaminate_bloom.
+    * `bench` is (bench_id, distinct shingle hashes). An empty `bench`
+    * tags every document clean; `bloom = None` with a NON-empty bench
+    * fails closed (no prescreen — every document pays the exact verify).
+    * Batch twin parity is pinned in StreamsSpec against
+    * q_decontaminate_bloom.
     */
   def decontaminateStream(docs: DataFrame, bench: Seq[(Long, Seq[Long])],
       bloom: Option[Array[Byte]], minShared: Long = 3L): DataFrame = {
@@ -230,7 +232,12 @@ object Streams {
     val pass = bloom match {
       case Some(bf) =>
         exists(col("__hs"), x => graft.functions.Bloom.mightContain(bf, x))
-      case None => lit(false)
+      // No sketch supplied for a NON-empty benchmark: fail CLOSED — skip
+      // the prescreen and exact-verify every document. lit(false) here
+      // would tag everything clean (fail open), the worst outcome for a
+      // contamination screen; lit(true) preserves correctness at
+      // worst-case cost.
+      case None => lit(true)
     }
     val best = array_max(transform(benchLit, b =>
       struct(

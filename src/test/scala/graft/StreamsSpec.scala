@@ -243,6 +243,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("benchmark screen without a bloom fails CLOSED: exact-verifies all") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // bench doc 7 shares the 3-shingle run of "a b c d e"; doc 9 does not.
+    // bloom = None with a NON-empty bench must not tag everything clean
+    // (ADVICE r8: the old lit(false) pass skipped the verify entirely) —
+    // it must pay the exact verify for every document.
+    val benchHs = {
+      import graft.functions.TextHash._
+      Seq("a b c d e").toDF("text")
+        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("th", expr(hashArraySpark("toks")))
+        .select(expr(shingleHashesSpark("th")))
+        .head().getSeq[Long](0)
+    }
+    val bench = Seq(7L -> benchHs.toSeq)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text"), bench, bloom = None, minShared = 3L)
+      .writeStream.format("memory").queryName("deconnone")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(1L -> "a b c d e f g", 2L -> "x y z w v u t"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, bench_id, n_shared, contaminated FROM deconnone")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2), r.getBoolean(3))).toSet
+      // doc 1 contains the full 5-token run → 3 shared 3-shingles → flagged
+      assert(rows.contains((1L, 7L, 3L, true)))
+      // doc 2 shares nothing → clean
+      assert(rows.exists(r => r._1 == 2L && r._3 == 0L && !r._4))
+    } finally q.stop()
+  }
+
   test("funnel stream advances in order across micro-batches = batch funnel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
