@@ -85,11 +85,23 @@ object Bench {
       val cacheQs = cacheWarm.map { case (k, v) =>
         "\"" + k.takeWhile(_ != ':') + "\":" + f3(v)
       }.mkString("{", ",", "}")
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"sf":"$sfDir"}"""
+      // cache_bytes: each shared frame's materialized storage footprint
+      // (root InMemoryRelation stats post-warm) + the registry total — the
+      // measured answer to "how much executor memory do the 39 shared
+      // frames actually pin", previously only argued from plans.
+      val cacheBytes = graft.Caches.bytes()
+      val cacheBytesQs = cacheBytes.map { case (k, b) =>
+        "\"" + k.takeWhile(_ != ':') + "\":" + b
+      }.mkString("{", ",", "}")
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
+      // SPARK_GRAFT_BENCH_OUT redirects the full map for off-contract runs
+      // (the sf1 scale-stress) so they never clobber the driver-read
+      // BENCH_FULL.json of the contract scale.
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        java.nio.file.Paths.get(outPath), fullJson + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}")
+        System.err.println(s"[bench] $outPath not written: ${e.getMessage}")
       }
     }
     val slowest = okResults.sortBy(-_._2).take(12)

@@ -25,11 +25,25 @@ object Caches {
   def memo[T](key: String)(mk: => T): T =
     values.getOrElseUpdate(key, mk).asInstanceOf[T]
 
+  /** Test seam: when set, [[getOrElseUpdate]] re-persists each NEWLY built
+    * frame at this level instead of the builder's (builders hardcode their
+    * serving levels). CachesSpec uses DISK_ONLY to prove the registry's
+    * worst eviction case — every byte spilled, zero storage memory — stays
+    * byte-identical and green; production never sets it.
+    */
+  @volatile private[graft] var levelOverride: Option[org.apache.spark.storage.StorageLevel] = None
+
   /** Memoize a persisted frame under `key`; the caller's `mk` must already
     * call `.persist()` (this registry manages lifetime, not storage level).
     */
   def getOrElseUpdate(key: String, mk: => DataFrame): DataFrame =
-    frames.getOrElseUpdate(key, mk)
+    frames.getOrElseUpdate(key, {
+      val df = mk
+      levelOverride.fold(df) { lvl =>
+        df.unpersist(blocking = true) // a level can't change once assigned
+        df.persist(lvl)
+      }
+    })
 
   /** Force-materialize every registered frame (full scan via count) and
     * return per-key wall seconds, key-sorted. Bench calls this between its
@@ -45,6 +59,30 @@ object Caches {
       try df.count() catch { case _: Exception => () }
       k -> (System.nanoTime() - t0) / 1e9
   }
+
+  /** Per-frame materialized cache size in bytes, key-sorted — the root
+    * InMemoryRelation's post-materialization stats (call after [[warm]];
+    * 0 for a frame whose cache lookup missed). This is the registry's
+    * actual executor-storage footprint, answering the 100 TB memory
+    * question ("what do the shared frames HOLD?") with a measured number
+    * in the bench artifact instead of a plan-reading argument.
+    */
+  def bytes(): Seq[(String, Long)] = frames.toSeq.sortBy(_._1).map {
+    case (k, df) =>
+      val b = df.queryExecution.withCachedData.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.stats.sizeInBytes.toLong
+      }.getOrElse(0L)
+      k -> b
+  }
+
+  /** Per-frame storage level, key-sorted — the eviction-safety audit
+    * surface: a frame whose level lacks the disk tier would be silently
+    * DROPPED (and rebuilt) under memory pressure; one with it degrades to
+    * disk reads. CachesSpec pins useDisk across the registry.
+    */
+  def levels(): Seq[(String, org.apache.spark.storage.StorageLevel)] =
+    frames.toSeq.sortBy(_._1).map { case (k, df) => k -> df.storageLevel }
 
   /** Unpersist and forget every registered frame (idempotent; safe while
     * queries are not running). Call between runs or before session stop.

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic ×N replica generator for scale-stress runs: reads an
+  * sf directory and writes `outDir` with every FACT table replicated
+  * `factor` times under disjoint entity-key ranges, dims kept single-copy.
+  *
+  * `runMain graft.ScaleUp <inDir> <outDir> <factor>`
+  *
+  * Replica i adds `i * KeyOffset` to every entity key (order, customer,
+  * part, supplier, event, user, doc, vec) — referential integrity is
+  * preserved WITHIN a replica because every fact's foreign keys shift by
+  * the same offset as the dimension they reference. nation/region stay
+  * un-replicated (fixed 25/5-row dims, like the real TPC-H scale rule),
+  * so each replica's customers/suppliers land on the same nations —
+  * which also means nation-grouped results grow in ROWS-PER-GROUP, not
+  * group count, the shape a 10× corpus actually has.
+  *
+  * Payload columns (text, embeddings, timestamps, measures) are NOT
+  * mutated: replicas are exact content clones under fresh ids. That is
+  * deliberate — it reproduces the dominant artifact of real web-scale
+  * corpora (exact and near duplicates at ~10× multiplicity) and turns
+  * the dedup tier into a genuine stress test: every doc gains a
+  * C(factor,2)-pair clone family, shingle document frequencies multiply
+  * by `factor`, and the df-cap / LSH-band bounds have to hold the
+  * candidate-pair volume down exactly as they would at 100 TB.
+  *
+  * The job is all-narrow (union of per-replica projections, no shuffle,
+  * no collect) — at cluster scale this same plan fans out as `factor`
+  * map-only read-write waves.
+  */
+object ScaleUp {
+  /** Larger than every key in the shipped testdata (max observed 149 999
+    * at sf0.1) by two orders of magnitude, and small enough that
+    * factor·offset stays far below 2^53 (doubles in the oracle) and any
+    * hash/bucket arithmetic downstream.
+    */
+  val KeyOffset = 10000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val dims = Seq("region", "nation")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val spark = GraftSession.build("graft-scaleup")
+    spark.sparkContext.setLogLevel("WARN")
+    dims.foreach { t =>
+      spark.read.parquet(s"$inDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$inDir/$t.parquet")
+      val replicated = (0 until factor).map { i =>
+        keys.foldLeft(base) { (df, k) =>
+          // `+ lit(long)` keeps the column's LongType; dims' INTEGER
+          // nation keys are never offset so no widening anywhere
+          df.withColumn(k, col(k) + lit(i * KeyOffset))
+        }
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      System.err.println(s"[scaleup] $t x$factor written")
+    }
+    spark.stop()
+  }
+}

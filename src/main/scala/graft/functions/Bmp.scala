@@ -92,6 +92,11 @@ object Bmp {
     def le16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     val pixelOffset = le32(10)
+    // an offset pointing inside the headers would make the pixel loop read
+    // header bytes as BGR data — garbage with plausible dims; reject it
+    // (fuzz finding: a corrupted offset byte used to surface as an
+    // ArrayIndexOutOfBounds on negative values instead of a typed reject)
+    require(pixelOffset >= PixelOffset, s"pixel offset $pixelOffset in header")
     val infoSize = le32(14)
     require(infoSize >= InfoHeaderSize, s"info header $infoSize")
     val width = le32(18)

@@ -609,3 +609,64 @@ object BloomProperties extends Properties("graft.functions.Bloom") {
       }
     }
 }
+
+/** Fuzz the BMP codec (functions/Bmp.scala) — the newest parser of
+  * untrusted bytes in the tree, and parsers are where fuzzing pays
+  * (VERDICT r8 punch item 4). Pure JVM, no Spark jobs: full default
+  * 100-case budget per property.
+  */
+object BmpProperties extends Properties("graft.functions.Bmp") {
+  import graft.functions.Bmp
+
+  /** (w, h, pixels): dims span every padding class (w mod 4 ∈ {0,1,2,3})
+    * and pixel bytes are arbitrary — including 'B'/'M'-valued bytes, so
+    * the decoder is exercised on payloads that mimic header magic.
+    */
+  private val imgGen: Gen[(Int, Int, Array[Byte])] = for {
+    w <- Gen.choose(1, 64)
+    h <- Gen.choose(1, 64)
+    px <- Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (w, h, px)
+
+  property("decode24(encode24(img)) is the identity on dims and pixels") =
+    forAll(imgGen) { case (w, h, px) =>
+      val (dw, dh, rgb) = Bmp.decode24(Bmp.encode24(w, h, px))
+      dw == w && dh == h && java.util.Arrays.equals(rgb, px)
+    }
+
+  property("every stored row is padded to a 4-byte boundary") =
+    forAll(imgGen) { case (w, h, px) =>
+      val bytes = Bmp.encode24(w, h, px)
+      (bytes.length - 54) % 4 == 0 &&
+        bytes.length == 54 + (w * 3 + Bmp.rowPad(w)) * h &&
+        (w * 3 + Bmp.rowPad(w)) % 4 == 0
+    }
+
+  property("any single corrupted header byte is rejected or dims-preserving") =
+    forAll(imgGen, Gen.choose(0, 53), Gen.choose(1, 255)) {
+      case ((w, h, px), off, delta) =>
+        val bytes = Bmp.encode24(w, h, px)
+        bytes(off) = (bytes(off) ^ delta).toByte // guaranteed != original
+        // a header flip must either fail fast with a TYPED reject (the
+        // corruption classes the decoder checks: magic, pixel offset,
+        // dims, planes, bpp, compression, truncation) or decode to the
+        // SAME pixels (bytes the format legitimately ignores here:
+        // file-size field, reserved words, resolutions, palette counts,
+        // image-size field) — never garbage, never a raw index error
+        try {
+          val (dw, dh, rgb) = Bmp.decode24(bytes)
+          dw == w && dh == h && java.util.Arrays.equals(rgb, px)
+        } catch {
+          case _: IllegalArgumentException => true
+        }
+    }
+
+  property("truncating the file below the pixel payload is rejected") =
+    forAll(imgGen, Gen.choose(0.0, 1.0)) { case ((w, h, px), frac) =>
+      val bytes = Bmp.encode24(w, h, px)
+      val cut = (bytes.length * frac).toInt.min(bytes.length - 1)
+      try { Bmp.decode24(java.util.Arrays.copyOf(bytes, cut)); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+}
