@@ -63,6 +63,17 @@ object ScaleUp {
     }
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$inDir/$t.parquet")
+      // Fail fast if any base key reaches KeyOffset: replica key ranges
+      // would overlap and silently MERGE key families across replicas —
+      // corrupted referential integrity with no error anywhere downstream.
+      // One tiny agg per table (runs once, before the replication write).
+      val maxes = base.select(keys.map(k => max(col(k)).as(k)): _*).head()
+      keys.zipWithIndex.foreach { case (k, idx) =>
+        val m = Option(maxes.getAs[Number](idx)).fold(0L)(_.longValue)
+        require(m < KeyOffset,
+          s"ScaleUp: $t.$k max key $m >= KeyOffset $KeyOffset — replica " +
+            "ranges would collide; raise KeyOffset or shrink the base")
+      }
       val replicated = (0 until factor).map { i =>
         keys.foldLeft(base) { (df, k) =>
           // `+ lit(long)` keeps the column's LongType; dims' INTEGER

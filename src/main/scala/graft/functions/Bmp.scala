@@ -105,10 +105,19 @@ object Bmp {
     require(le16(26) == 1, "planes != 1")
     require(le16(28) == 24, s"unsupported bpp ${le16(28)}")
     require(le32(30) == 0, s"unsupported compression ${le32(30)}")
-    val pad = rowPad(width)
-    val rowBytes = width * 3 + pad
-    require(bytes.length >= pixelOffset + rowBytes * height,
+    // size arithmetic in Long: a corrupted 4-byte width/height can pass the
+    // positivity check yet overflow Int in rowBytes*height, flipping the
+    // truncation require into a pass and the allocation below into a
+    // NegativeArraySize/ArrayIndexOutOfBounds crash instead of a typed
+    // reject (single-byte fuzz corruption of the high width/height bytes)
+    val padL = (4 - (width.toLong * 3) % 4) % 4
+    val rowBytesL = width.toLong * 3 + padL
+    require(pixelOffset.toLong + rowBytesL * height <= bytes.length,
       s"truncated pixel data: ${bytes.length}")
+    // fits in Int: rowBytes*height <= bytes.length <= Int.MaxValue, and the
+    // same bound covers width*height*3 (< rowBytes*height) and every row
+    // offset computed in the loop
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

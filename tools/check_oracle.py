@@ -53,18 +53,32 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
-        timer, fired = None, []
+        # done flag guards the timer callback: without it, a timer firing in
+        # the gap between query completion and timer.cancel() would
+        # interrupt() an idle connection and spuriously kill the NEXT
+        # statement; and a real SQL error racing the timer would be
+        # misreported as a timeout (we additionally require the exception to
+        # BE duckdb's interrupt to count as one).
+        timer, fired, done = None, [], threading.Event()
         if timeout_s > 0:
-            timer = threading.Timer(
-                timeout_s, lambda: (fired.append(1), con.interrupt()))
+            def _interrupt(done=done, fired=fired):
+                if not done.is_set():
+                    fired.append(1)
+                    con.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
+        interrupt_exc = getattr(duckdb, "InterruptException", ())
         try:
             want_rel = con.sql(sql)
             want_cols = list(want_rel.columns)
             want_types = {c: str(t) for c, t in zip(want_cols, want_rel.types)}
             want = want_rel.fetchall()
+            done.set()
         except Exception as e:
-            if fired:
+            done.set()
+            is_interrupt = (isinstance(e, interrupt_exc)
+                            or "INTERRUPT" in str(e).upper())
+            if fired and is_interrupt:
                 print(f"ORACLE-TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s")
                 n_timeout += 1
             else:
@@ -72,6 +86,7 @@ def main(sf_dir, out_dir):
                 n_bad += 1
             continue
         finally:
+            done.set()
             if timer is not None:
                 timer.cancel()
         try:
@@ -123,9 +138,14 @@ def main(sf_dir, out_dir):
             n_bad += 1
     if n_timeout:
         print(f"== {n_ok} ok, {n_bad} fail, {n_timeout} oracle-timeout")
+        # timed-out oracles are UNVERIFIED, not passed: exit 2 (distinct
+        # from 1 = hard fail) so a gate script can't treat the run as green
+        # without explicitly adjudicating the timeouts.
+        print(f"WARNING: {n_timeout} oracle(s) timed out and are unverified",
+              file=sys.stderr)
     else:
         print(f"== {n_ok} ok, {n_bad} fail")
-    return 1 if n_bad else 0
+    return 1 if n_bad else (2 if n_timeout else 0)
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
