@@ -38,28 +38,39 @@ object Bench {
           -1.0
       }
     }
-    // Untimed warm-up pass: first execution of each plan pays one-time JVM
-    // costs (whole-stage-codegen javac, JIT, parquet footer cache) that a
-    // long-lived engine amortizes — measured 2-3x inflation on sub-second
-    // queries. The timed pass below reflects steady-state throughput, which
-    // is what the 100 TB target cares about.
-    selected.foreach { case (name, fn) => runOnce(name, fn) }
-    // Explicit cache barrier: the warm-up above registered + built every
-    // Caches-memoized shared frame; force-materialize them all HERE so no
-    // timed pass can be billed a shared build (round-7 review: per-query
-    // times flapped 0.66 s <-> 1.53 s depending on which consumer drew the
-    // build). The per-key scan times land in BENCH_FULL.json as evidence
-    // the registry was warm before timing started.
-    val cacheWarm = graft.Caches.warm()
-    System.err.println(s"[bench] cache barrier: ${cacheWarm.size} shared frames warm")
-    // Two timed passes, best-of per query: a single shared JVM accumulates
-    // shuffle files / broadcast blocks whose async cleanup lands on random
-    // queries (observed 2.6 s -> 17 s spikes on an otherwise stable query);
-    // min-of-2 reports the query's actual steady-state cost.
-    val pass1 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
-    val pass2 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    // SPARK_GRAFT_COLD=1: ONE timed pass on the fresh JVM — no warm-up, no
+    // cache barrier, every query billed whatever shared builds / codegen /
+    // JIT it actually triggers. The honest first-run number that pairs
+    // with the warm best-of-2 methodology below (labeled "cold" in the
+    // JSON so the two are never confused).
+    val cold = sys.env.get("SPARK_GRAFT_COLD").exists(_.nonEmpty)
+    val (results, cacheWarm, mode) = if (cold) {
+      (selected.map { case (name, fn) => name -> runOnce(name, fn) },
+        Seq.empty[(String, Double)], "cold")
+    } else {
+      // Untimed warm-up pass: first execution of each plan pays one-time JVM
+      // costs (whole-stage-codegen javac, JIT, parquet footer cache) that a
+      // long-lived engine amortizes — measured 2-3x inflation on sub-second
+      // queries. The timed pass below reflects steady-state throughput, which
+      // is what the 100 TB target cares about.
+      selected.foreach { case (name, fn) => runOnce(name, fn) }
+      // Explicit cache barrier: the warm-up above registered + built every
+      // Caches-memoized shared frame; force-materialize them all HERE so no
+      // timed pass can be billed a shared build (round-7 review: per-query
+      // times flapped 0.66 s <-> 1.53 s depending on which consumer drew the
+      // build). The per-key scan times land in BENCH_FULL.json as evidence
+      // the registry was warm before timing started.
+      val warm = graft.Caches.warm()
+      System.err.println(s"[bench] cache barrier: ${warm.size} shared frames warm")
+      // Two timed passes, best-of per query: a single shared JVM accumulates
+      // shuffle files / broadcast blocks whose async cleanup lands on random
+      // queries (observed 2.6 s -> 17 s spikes on an otherwise stable query);
+      // min-of-2 reports the query's actual steady-state cost.
+      val pass1 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+      val pass2 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+      (pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+        name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }, warm, "warm")
     }
     // Double.toString is locale-independent (an f"%.3f" would not be).
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
@@ -93,7 +104,7 @@ object Bench {
       val cacheBytesQs = cacheBytes.map { case (k, b) =>
         "\"" + k.takeWhile(_ != ':') + "\":" + b
       }.mkString("{", ",", "}")
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
       // SPARK_GRAFT_BENCH_OUT redirects the full map for off-contract runs
       // (the sf1 scale-stress) so they never clobber the driver-read
       // BENCH_FULL.json of the contract scale.
@@ -108,7 +119,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val sortedVec = okResults.sortBy(_._1)
       .map { case (_, v) => f3(v) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"warm","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = the ${okResults.size} succeeded times in ascending query-name order, 3dp; full named map in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = the ${okResults.size} succeeded times in ascending query-name order, 3dp; full named map in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,14 +116,39 @@ object Similarity {
   /** Per-(vector, subspace) codeword distances — the shared intermediate
     * both PQ frames cut from.
     */
-  private def pqEnc0(s: SparkSession, d: String): DataFrame = {
-    val sub = quantizedVecs(s, d).select(col("vec_id"), explode(expr(
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    quantizedVecs(s, d).select(col("vec_id"), explode(expr(
       "transform(sequence(0, 7), j -> struct(j AS j, " +
         "transform(sequence(1, 8), i -> element_at(qv, 8 * j + i)) AS sv))"))
       .as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-    val cb = sub.where(col("vec_id") < 4)
+
+  /** The trained PQ codebook `(j, c, cv BIGINT[8])` — 8 subspaces × 4
+    * codewords (the 4 lowest-vec_id vectors' subvectors, the same seed
+    * discipline as the IVF trainer). m·K-bounded: the model artifact the
+    * batch encoder joins and the streaming encoder broadcasts.
+    */
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(s, d).where(col("vec_id") < 4)
       .select(col("j"), col("vec_id").as("c"), col("sv").as("cv"))
+
+  /** Driver-side copy of the two trained model artifacts for the
+    * streaming index encoder — K centroid rows + m·K codebook rows, both
+    * entity-bounded collects (32 + 4 rows here; the model IS the thing a
+    * deployment broadcasts).
+    */
+  private[graft] def ivfPqModel(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Long])]) = {
+    val cents = kmeansCentroids(s, d).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val cb = pqCodebook(s, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    (cents, cb)
+  }
+
+  private def pqEnc0(s: SparkSession, d: String): DataFrame = {
+    val sub = pqSubvectors(s, d)
+    val cb = pqCodebook(s, d)
     sub.join(broadcast(cb), Seq("j"))
       .withColumn("dist", expr(
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
@@ -435,32 +460,50 @@ object Similarity {
     * unrolled Lloyd iterations — persisted per directory (the trainer and
     * the trained-cell search both consume it).
     */
-  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame =
+  // distance folds: integer accumulator against int centroids, double
+  // against the updated (fractional) centroids — codegen'd primitive
+  // loops (ArrayOps), same sequential fold as the oracle's index-based
+  // list_sum
+  private def kmDistInt = ArrayOps.sqDistLong(col("qv"), col("cv"))
+  private def kmDistDbl = ArrayOps.sqDistDouble(
+    expr("transform(qv, x -> cast(x AS double))"), col("cv"))
+
+  /** One Lloyd assignment pass: argmin over the broadcast centroids as
+    * min(struct(dist, cid)) — map-side combinable, tie to the lower cid.
+    */
+  private def kmAssignPass(n8: DataFrame, cents: DataFrame,
+      dist: org.apache.spark.sql.Column): DataFrame =
+    n8.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first("qv").as("qv"))
+      .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+
+  /** The TRAINED coarse quantizer `(cid, cv DOUBLE[64])` after the first
+    * Lloyd update — the model artifact the final assignment, the IVF-PQ
+    * serve path, and the streaming index-maintenance encoder all run
+    * against. K-bounded (4 rows here; K rows in production — the thing a
+    * deployment writes out and broadcasts).
+    */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame =
     graft.Caches.getOrElseUpdate(
-      s"ivf-assign:$d:${graft.Caches.fingerprint(s, d)}", {
+      s"ivf-centroids:$d:${graft.Caches.fingerprint(s, d)}", {
         val n8 = quantizedVecs(s, d).select("vec_id", "qv")
         val seeds = n8.orderBy("vec_id").limit(4)
           .select(col("vec_id").as("cid"), col("qv").as("cv"))
-        // distance folds: integer accumulator against int centroids,
-        // double against the updated (fractional) centroids — codegen'd
-        // primitive loops (ArrayOps), same sequential fold as the oracle's
-        // index-based list_sum
-        val distInt = ArrayOps.sqDistLong(col("qv"), col("cv"))
-        val distDbl = ArrayOps.sqDistDouble(
-          expr("transform(qv, x -> cast(x AS double))"), col("cv"))
-        def assign(cents: DataFrame, dist: org.apache.spark.sql.Column): DataFrame =
-          n8.crossJoin(broadcast(cents))
-            .withColumn("dist", dist)
-            .groupBy("vec_id")
-            .agg(min(struct(col("dist"), col("cid"))).as("m"),
-              first("qv").as("qv"))
-            .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
-        val u1 = kmeansUpdate(assign(seeds, distInt))
-        val c1 = u1.select(col("cid"),
+        val u1 = kmeansUpdate(kmAssignPass(n8, seeds, kmDistInt))
+        u1.select(col("cid"),
           expr(KmDims.map(i => s"cast(s$i AS double) / cnt")
             .mkString("array(", ", ", ")")).as("cv"))
-        assign(c1, distDbl).persist()
+          .persist()
       })
+
+  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"ivf-assign:$d:${graft.Caches.fingerprint(s, d)}",
+      kmAssignPass(quantizedVecs(s, d).select("vec_id", "qv"),
+        kmeansCentroids(s, d), kmDistDbl).persist())
 
   /** Per-cluster count + 64 per-dimension integer sums (map-side partial
     * aggregation; exact at any scale).
@@ -469,6 +512,96 @@ object Similarity {
     val aggCols = count(lit(1)).as("cnt") +:
       KmDims.map(i => sum(expr(s"element_at(qv, $i)")).as(s"s$i"))
     assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** Hard upper bound on the number of per-cell pair REPRESENTATIVES the
+    * SemDeDup join may use as its smaller-id side — the adversarial
+    * backstop that keeps within-cell pair volume ≤ |cell| · cap (linear)
+    * even when a cell's DISTINCT population outgrows what the coarse
+    * quantizer was provisioned for. Chosen above every observed distinct
+    * cell population at the test scales (≤ ~500 at sf0.1, and UNCHANGED
+    * under clone replication because the cap applies after exact-dup
+    * collapse), so at contract scale the cap is inert and the semantics
+    * are the full within-cell pairwise prune.
+    */
+  private[graft] val SemDedupCellCap = 1024
+
+  /** Every vector with its cell, integer norm, and `mid` = the smallest
+    * vec_id sharing its EXACT quantized vector (the exact-dup group key;
+    * one window pass, partitioned by the canonical vector string).
+    */
+  private[graft] def semDedupGrouped(s: SparkSession, d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"semdedup-grouped:$d:${graft.Caches.fingerprint(s, d)}",
+      kmeansAssign(s, d)
+        .withColumn("qn",
+          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
+        .withColumn("mid", min("vec_id").over(
+          // partition directly by the array column (Spark arrays are
+          // group-comparable): same grouping as the oracle's injective
+          // array_to_string key, minus a 64-element string build per row
+          Window.partitionBy(col("cid"), col("qv"))))
+        .persist())
+
+  /** One delegate row per DISTINCT quantized vector per cell:
+    * (mid, cid, qv, qn). THIS is what makes SemDeDup scale-safe against
+    * duplicate multiplicity: cosine depends only on qv, so "b has a
+    * smaller-id partner at cosine ≥ t" is decidable entirely between
+    * group delegates — ∃ a < b with cos(a,b) ≥ t ⟺ ∃ group A with
+    * min(A) < min(B) and cos(A,B) ≥ t (for b = min(B)), while every
+    * non-minimal member of a nonzero group is dropped unconditionally by
+    * its own group minimum at cosine 1.0. The quadratic stage therefore
+    * runs over distinct vectors only — under ×m exact-clone replication
+    * (ScaleUp's clone families, or a real corpus's mirror copies) the
+    * pair volume is CONSTANT, not m².
+    */
+  private[graft] def semDedupDelegates(s: SparkSession, d: String): DataFrame =
+    semDedupGrouped(s, d).where(col("vec_id") === col("mid"))
+      .select(col("mid"), col("cid"), col("qv"), col("qn"))
+
+  /** Within-cell delegate pairs (a = representative, rank ≤ `cap` by mid
+    * within the cell; b = any delegate with a larger mid) with their
+    * integer cosine — the bounded candidate stage: ≤ |delegates| · cap
+    * rows, an equi-join on cid. Parameterized cap so the bound itself is
+    * unit-testable at visible sizes.
+    */
+  private[graft] def semDedupPairsFrom(g: DataFrame,
+      cap: Int = SemDedupCellCap): DataFrame = {
+    val reps = g.withColumn("rn",
+        row_number().over(Window.partitionBy("cid").orderBy("mid")))
+      .where(col("rn") <= cap)
+      .select(col("cid"), col("mid").as("a_mid"),
+        col("qv").as("qa"), col("qn").as("na"))
+    g.select(col("cid"), col("mid").as("b_mid"),
+        col("qv").as("qb"), col("qn").as("nb"))
+      .join(reps, Seq("cid"))
+      .where(col("a_mid") < col("b_mid"))
+      .withColumn("cosine",
+        try_divide(ArrayOps.dotLong(col("qa"), col("qb")).cast("double"),
+          col("na") * col("nb")))
+  }
+
+  private[graft] def semDedupPairs(s: SparkSession, d: String): DataFrame =
+    semDedupPairsFrom(semDedupDelegates(s, d))
+
+  /** Final per-vector status: a vector is kept iff it is its group's
+    * minimum and no capped representative with a smaller mid sits at
+    * cosine ≥ 0.4 (zero-norm vectors are always kept — cosine with them
+    * is NULL, so nothing can drop them; quantizedVecs filters true zero
+    * vectors upstream, the guard mirrors the oracle's CASE exactly).
+    */
+  private[graft] def semDedupStatus(s: SparkSession, d: String): DataFrame = {
+    val droppedGroups = semDedupPairs(s, d).where(col("cosine") >= 0.4)
+      .select(col("b_mid").as("mid")).distinct()
+      .withColumn("is_dropped", lit(1))
+    semDedupGrouped(s, d).join(droppedGroups, Seq("mid"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        when(col("qn") === 0.0, lit("kept"))
+          .when(col("vec_id") === col("mid") && col("is_dropped").isNull,
+            lit("kept"))
+          .otherwise(lit("dropped")).as("status"))
   }
 
   val entries: Seq[Q] = Seq(
@@ -591,6 +724,34 @@ object Similarity {
          |SELECT q_id, rnk, nn_id, adist FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
       ivfpqTop3(s, d).orderBy("q_id", "rnk")
+    },
+
+    // THE WRITTEN IVF-PQ INDEX TABLE — one row per indexed vector with
+    // its coarse cell and the 8 PQ codes as the canonical comma string
+    // (the scalar-cell form the oracle comparator hashes). This is what
+    // an index REBUILD materializes, and the batch twin of the streaming
+    // maintenance path (Streams.ivfPqEncodeStream appends rows a full
+    // rebuild would produce bit-identically — IvfPqStreamSpec pins the
+    // parity). One 8-element collect_list per vector (j-bounded), one
+    // equi-join with the persisted cell assignment.
+    Q("q_ivfpq_index",
+      s"""WITH $kmeansDuck,
+         |$pqDuckChain,
+         |codes AS (SELECT vec_id,
+         |    string_agg(c::VARCHAR, ',' ORDER BY j) AS codes
+         |  FROM code GROUP BY vec_id)
+         |SELECT a2.vec_id, a2.cid, codes.codes
+         |FROM a2 JOIN codes USING (vec_id)
+         |ORDER BY a2.vec_id""".stripMargin) { (s, d) =>
+      val codes = pqCode(s, d).groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
+        .select(col("vec_id"),
+          expr("array_join(transform(jc, x -> cast(x.c AS string)), ',')")
+            .as("codes"))
+      kmeansAssign(s, d).select("vec_id", "cid")
+        .join(codes, Seq("vec_id"))
+        .select("vec_id", "cid", "codes")
+        .orderBy("vec_id")
     },
 
     // RECALL@3 of the IVF-PQ search vs the exact integer-cosine ranking —
@@ -944,48 +1105,41 @@ object Similarity {
     // persisted IVF assignment), then integer-cosine pairs inside a cell
     // only, dropping every vector that has a smaller-id partner at
     // cosine >= 0.4 (deterministic greedy keep-the-first, the same
-    // min-id survivor rule the text dedup uses). The cell blocking is
-    // what makes it a 100 TB operator: candidate pairs are bounded per
-    // cell (k chosen so cells fit), the join is an equi-join on cid, and
-    // no cross-cell pair is ever materialized — exactly the published
-    // SemDeDup recipe (cluster, then prune within cluster). Output is
+    // min-id survivor rule the text dedup uses). Cell blocking alone is
+    // NOT a bound — clone families (the dominant artifact of a web-scale
+    // corpus, and exactly what ScaleUp injects) inflate each cell's
+    // population m-fold and an all-pairs join m²-fold. Two mechanisms
+    // bound it (see [[semDedupPairsFrom]]): exact-duplicate COLLAPSE
+    // (pairs run over distinct quantized vectors only — provably
+    // result-identical, and immune to duplicate multiplicity) and a hard
+    // per-cell representative cap as the adversarial backstop. Output is
     // every vector with its cell and kept/dropped status.
     Q("q_semdedup",
       s"""WITH $kmeansDuck,
          |n8s AS (SELECT vec_id, qv, cid,
          |    sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS qn
          |  FROM a2),
-         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |gm AS (SELECT vec_id, qv, cid, qn,
+         |    min(vec_id) OVER (PARTITION BY cid, array_to_string(qv, ','))
+         |      AS mid
+         |  FROM n8s),
+         |g AS (SELECT vec_id AS mid, qv, cid, qn FROM gm WHERE vec_id = mid),
+         |r AS (SELECT mid, qv, cid, qn,
+         |    row_number() OVER (PARTITION BY cid ORDER BY mid) AS rn FROM g),
+         |p AS (SELECT b.mid AS b_mid,
          |    CASE WHEN a.qn * b.qn = 0 THEN NULL
          |         ELSE list_sum(list_transform(a.qv, (x,i) -> x * b.qv[i]))::DOUBLE
          |           / (a.qn * b.qn) END AS cosine
-         |  FROM n8s a JOIN n8s b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         |dr AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cosine >= 0.4)
-         |SELECT n.vec_id, n.cid,
-         |  CASE WHEN dr.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS status
-         |FROM n8s n LEFT JOIN dr USING (vec_id)
-         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
-      val n8s = kmeansAssign(s, d)
-        .withColumn("qn",
-          sqrt(ArrayOps.dotLong(col("qv"), col("qv")).cast("double")))
-      val a = n8s.select(col("cid"), col("vec_id").as("a_id"),
-        col("qv").as("qa"), col("qn").as("na"))
-      val b = n8s.select(col("cid"), col("vec_id").as("b_id"),
-        col("qv").as("qb"), col("qn").as("nb"))
-      val dropped = a.join(b, Seq("cid"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("b_id"),
-          try_divide(ArrayOps.dotLong(col("qa"), col("qb")).cast("double"),
-            col("na") * col("nb")).as("cosine"))
-        .where(col("cosine") >= 0.4)
-        .select(col("b_id").as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(1))
-      n8s.select("vec_id", "cid")
-        .join(dropped, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), col("cid"),
-          when(col("is_dropped").isNotNull, "dropped").otherwise("kept")
-            .as("status"))
-        .orderBy("vec_id")
+         |  FROM r a JOIN g b
+         |    ON a.cid = b.cid AND a.mid < b.mid AND a.rn <= $SemDedupCellCap),
+         |dr AS (SELECT DISTINCT b_mid AS mid FROM p WHERE cosine >= 0.4)
+         |SELECT gm.vec_id, gm.cid,
+         |  CASE WHEN gm.qn = 0 THEN 'kept'
+         |       WHEN gm.vec_id = gm.mid AND dr.mid IS NULL THEN 'kept'
+         |       ELSE 'dropped' END AS status
+         |FROM gm LEFT JOIN dr ON dr.mid = gm.mid
+         |ORDER BY gm.vec_id""".stripMargin) { (s, d) =>
+      semDedupStatus(s, d).orderBy("vec_id")
     },
 
     // HYBRID RETRIEVAL FUSION (reciprocal-rank fusion, k = 60): the

@@ -475,6 +475,57 @@ object Streams {
     * its bands verdicts dup (the consumer's 1-line rollup — kept
     * per-band here so the collision evidence stays inspectable).
     */
+  /** Streaming IVF-PQ index MAINTENANCE: new vectors stream through the
+    * TRAINED serve path — coarse-cell assignment (argmin over the K
+    * trained centroids) and PQ encoding (per-subspace argmin over the
+    * m×K codebook) — producing append-ready index rows
+    * `(vec_id, cid, codes BIGINT[8])` without retraining or touching the
+    * existing index. Both model artifacts arrive as driver-side values
+    * (K- and m·K-bounded — the broadcast-model discipline) and are
+    * compiled INTO the expressions, so the whole operator is stateless
+    * map-side work: no shuffle, no state store, append mode, and the
+    * arithmetic is the SAME ArrayOps folds the batch encoder runs —
+    * `min(struct(dist, id))` becomes `array_min` over literal-candidate
+    * structs with identical (dist, id) tie-breaks, so a streamed vector
+    * gets bit-identically the row a full batch rebuild would give it
+    * (the parity invariant IvfPqStreamSpec pins).
+    */
+  def ivfPqEncodeStream(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      codebook: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import graft.functions.ArrayOps
+    require(centroids.nonEmpty && codebook.nonEmpty,
+      "ivfPqEncodeStream: empty model — train the quantizer/codebook first")
+    // symmetric int8 quantization, the exact quantizedVecs expressions
+    // (zero vectors are unindexable there and are filtered here too)
+    val q = vecs
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .where(col("_amax") =!= 0.0)
+      .withColumn("qv",
+        expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
+    val cellCands = centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(
+        ArrayOps.sqDistDouble(
+          expr("transform(qv, x -> cast(x AS double))"), typedLit(cv))
+          .as("dist"),
+        lit(cid).as("cid"))
+    }
+    val cell = array_min(array(cellCands: _*)).getField("cid")
+    val codeCols = (0 until 8).map { j =>
+      val sv = expr(
+        s"transform(sequence(1, 8), i -> element_at(qv, ${8 * j} + i))")
+      val cands = codebook.filter(_._1 == j).sortBy(_._2).map {
+        case (_, c, cw) =>
+          struct(ArrayOps.sqDistLong(sv, typedLit(cw)).as("dist"),
+            lit(c).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }
+    q.select(col("vec_id"), cell.as("cid"), array(codeCols: _*).as("codes"))
+  }
+
   def lshDedupStream(docs: DataFrame)
       : org.apache.spark.sql.Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._

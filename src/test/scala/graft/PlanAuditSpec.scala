@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_recall", // same broadcast ≤10-row query set (IVF eval)
     "q_ivfpq_recall", // same ≤10-row query set + K=4 centroid broadcast
     "q_cluster_purity", // 4-row centroid cross join inside kmeansAssign
+    "q_ivfpq_index", // same K=4 centroid cross inside kmeansAssign
     "q_tfidf_terms", // 1-row source-count broadcast onto the tf frame
     "q_label_scatter", // broadcast label-count-bounded centroid rows (4)
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
