@@ -112,8 +112,17 @@ object Bmp {
     // reject (single-byte fuzz corruption of the high width/height bytes)
     val padL = (4 - (width.toLong * 3) % 4) % 4
     val rowBytesL = width.toLong * 3 + padL
-    require(pixelOffset.toLong + rowBytesL * height <= bytes.length,
-      s"truncated pixel data: ${bytes.length}")
+    // EXACT length, not <=: this codec round-trips its own canonical form
+    // (encode24 is the pipeline's only producer), where the pixel payload
+    // fills the file. A mere lower bound lets a corrupted dim byte that
+    // SHRINKS width/height decode "successfully" into a plausible smaller
+    // image — silent data corruption in a dedup/fingerprint pipeline that
+    // hashes decoded content (fuzz finding, round 10). Exactness turns
+    // every dim-altering flip into a typed reject while the genuinely
+    // ignored fields (file size, reserved, resolutions, palette/image
+    // size) stay dims-preserving.
+    require(pixelOffset.toLong + rowBytesL * height == bytes.length,
+      s"pixel payload does not fill file: ${bytes.length}")
     // fits in Int: rowBytes*height <= bytes.length <= Int.MaxValue, and the
     // same bound covers width*height*3 (< rowBytes*height) and every row
     // offset computed in the loop
