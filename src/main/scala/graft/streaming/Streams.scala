@@ -490,29 +490,45 @@ object Streams {
     * gets bit-identically the row a full batch rebuild would give it
     * (the parity invariant IvfPqStreamSpec pins).
     */
-  def ivfPqEncodeStream(vecs: DataFrame,
-      centroids: Seq[(Long, Seq[Double])],
-      codebook: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+  /** Symmetric int8 quantization of an `embedding` column — the exact
+    * quantizedVecs expressions (zero vectors are unindexable there and
+    * are filtered here too). Shared by the two streaming encoders.
+    */
+  private def quantizeArrivals(vecs: DataFrame): DataFrame = vecs
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
+    .where(col("_amax") =!= 0.0)
+    .withColumn("qv",
+      expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
+
+  /** Coarse-cell argmin over the broadcast-shape trained centroids as a
+    * column over `qv`: `min(struct(dist, cid))` becomes `array_min` over
+    * literal-candidate structs with identical (dist, cid) tie-breaks, so
+    * a streamed vector lands in exactly the cell the batch assignment
+    * (kmAssignPass) gives it.
+    */
+  private def cellCol(centroids: Seq[(Long, Seq[Double])])
+      : org.apache.spark.sql.Column = {
     import graft.functions.ArrayOps
-    require(centroids.nonEmpty && codebook.nonEmpty,
-      "ivfPqEncodeStream: empty model — train the quantizer/codebook first")
-    // symmetric int8 quantization, the exact quantizedVecs expressions
-    // (zero vectors are unindexable there and are filtered here too)
-    val q = vecs
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("_amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .where(col("_amax") =!= 0.0)
-      .withColumn("qv",
-        expr("transform(v, x -> cast(round(x * (127.0 / _amax)) AS bigint))"))
-    val cellCands = centroids.sortBy(_._1).map { case (cid, cv) =>
+    val cands = centroids.sortBy(_._1).map { case (cid, cv) =>
       struct(
         ArrayOps.sqDistDouble(
           expr("transform(qv, x -> cast(x AS double))"), typedLit(cv))
           .as("dist"),
         lit(cid).as("cid"))
     }
-    val cell = array_min(array(cellCands: _*)).getField("cid")
+    array_min(array(cands: _*)).getField("cid")
+  }
+
+  def ivfPqEncodeStream(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      codebook: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import graft.functions.ArrayOps
+    require(centroids.nonEmpty && codebook.nonEmpty,
+      "ivfPqEncodeStream: empty model — train the quantizer/codebook first")
+    val q = quantizeArrivals(vecs)
+    val cell = cellCol(centroids)
     val codeCols = (0 until 8).map { j =>
       val sv = expr(
         s"transform(sequence(1, 8), i -> element_at(qv, ${8 * j} + i))")
@@ -524,6 +540,91 @@ object Streams {
       array_min(array(cands: _*)).getField("c")
     }
     q.select(col("vec_id"), cell.as("cid"), array(codeCols: _*).as("codes"))
+  }
+
+  final case class SemArrival(vec_id: Long, cid: Long, qv: Seq[Long])
+  final case class SemVerdict(vec_id: Long, cid: Long, status: String)
+  /** Per-cell delegate store: one entry per DISTINCT quantized vector
+    * seen, capped — mids/qvs/qns are parallel (columnar keeps the state
+    * row a flat product encoder, no nested-case-class plumbing).
+    */
+  final case class SemCellState(mids: Seq[Long], qvs: Seq[Seq[Long]],
+      qns: Seq[Double])
+
+  /** Streaming SEMANTIC DEDUP — the incremental twin of q_semdedup.
+    * Arrivals quantize and coarse-assign statelessly (same trained-model
+    * expressions as [[ivfPqEncodeStream]]); then one
+    * `flatMapGroupsWithState` per CELL keeps the bounded delegate store
+    * the batch collapse proved sufficient: one entry per distinct
+    * quantized vector, capped at `cap`. An arrival is dropped iff it
+    * exactly matches a stored delegate (its group minimum arrived
+    * earlier — cosine 1.0) or sits at cosine ≥ `threshold` from any
+    * stored delegate; otherwise kept, and stored while the cell is
+    * under cap (dropped delegates store too — in the batch rule a
+    * dropped representative still drops later arrivals). State is
+    * ≤ cap · dims longs per OCCUPIED cell — the same bound the batch
+    * representative cap enforces, so the store cannot grow with
+    * duplicate multiplicity, only with distinct-vector count, and never
+    * past the cap.
+    *
+    * Parity (SemDedupStreamSpec): fed in ascending vec_id order, the
+    * verdicts equal batch semDedupStatus exactly — first-arrival
+    * survivor ≡ min-id survivor, across any micro-batch split, because
+    * the delegate store IS the batch delegate frame restricted to the
+    * cap lowest mids. Documented divergence beyond cap: an exact
+    * duplicate of an UNSTORED delegate (distinct rank > cap) is judged
+    * against the stored representatives like its group minimum was,
+    * where strict batch semantics would drop it as a non-minimal group
+    * member; at the published-recipe operating point (cap provisioned
+    * above the distinct cell population) the case is unreachable.
+    */
+  def semDedupStream(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      threshold: Double = 0.4,
+      cap: Int = graft.operators.Similarity.SemDedupCellCap)
+      : org.apache.spark.sql.Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(centroids.nonEmpty,
+      "semDedupStream: empty model — train the coarse quantizer first")
+    quantizeArrivals(vecs)
+      .select(col("vec_id"), cellCol(centroids).as("cid"), col("qv"))
+      .as[SemArrival]
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, it: Iterator[SemArrival], state: GroupState[SemCellState]) =>
+          val st = state.getOption.getOrElse(SemCellState(Nil, Nil, Nil))
+          val mids = st.mids.toBuffer
+          val qvs = st.qvs.toBuffer
+          val qns = st.qns.toBuffer
+          def dot(a: Seq[Long], b: Seq[Long]): Long = {
+            var s = 0L; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+          }
+          val out = Seq.newBuilder[SemVerdict]
+          // ascending vec_id within the batch: arrival order IS group-min
+          // order, the invariant the batch parity rests on
+          it.toSeq.sortBy(_.vec_id).foreach { a =>
+            val qn = math.sqrt(dot(a.qv, a.qv).toDouble)
+            val exact = qvs.indexWhere(_ == a.qv)
+            val dropped =
+              if (exact >= 0) true // its group minimum is stored: cosine 1.0
+              else qvs.indices.exists { i =>
+                // same arithmetic as the batch pairs frame: exact integer
+                // dot, double division (zero norms never occur post-quant,
+                // but mirror try_divide: a 0-denominator never drops)
+                val den = qns(i) * qn
+                den != 0.0 && dot(qvs(i), a.qv).toDouble / den >= threshold
+              }
+            out += SemVerdict(a.vec_id, cid,
+              if (dropped) "dropped" else "kept")
+            if (exact < 0 && mids.size < cap) {
+              mids += a.vec_id; qvs += a.qv; qns += qn
+            }
+          }
+          state.update(SemCellState(mids.toSeq, qvs.toSeq, qns.toSeq))
+          out.result().iterator
+      }
   }
 
   def lshDedupStream(docs: DataFrame)
