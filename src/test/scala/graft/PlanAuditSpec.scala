@@ -198,37 +198,40 @@ class PlanAuditSpec extends SparkSpec {
       s"allowedBnl entries whose plan no longer has a BNL: $stale")
   }
 
-  test("blessed sf1 plan flips stay well-formed and non-stale") {
-    // The scale-aware gate (runMain graft.ShuffleCount <sf1Dir> budget.tsv
-    // blessed.tsv) enforces the counts against live sf1 plans; this cheap
-    // hygiene net guards the blessed FILE itself: every entry must name a
-    // registered query, carry a pinned count and a reason, and actually
-    // DIFFER from the test-scale budget (an entry equal to the budget is a
-    // flip that no longer exists — stale blessing that would mask a future
-    // regression to that count).
-    val blessedPath = java.nio.file.Paths.get(
-      "src/test/resources/shuffle_blessed_sf1.tsv")
-    assert(java.nio.file.Files.exists(blessedPath))
+  test("blessed scale-flip files stay well-formed and non-stale") {
+    // The scale-aware gate (runMain graft.ShuffleCount <scaleDir>
+    // budget.tsv blessed.tsv) enforces the counts against live plans at
+    // scale; this cheap hygiene net guards the blessed FILES themselves:
+    // every entry must name a registered query, carry a pinned count and
+    // a reason, and actually DIFFER from the test-scale budget (an entry
+    // equal to the budget is a flip that no longer exists — stale
+    // blessing that would mask a future regression to that count).
     val budget = scala.jdk.CollectionConverters
       .ListHasAsScala(java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("src/test/resources/shuffle_budget.tsv")))
       .asScala.filter(_.nonEmpty)
       .map { l => val Array(n, c) = l.split("\t"); n -> c.toInt }.toMap
-    val blessed = scala.jdk.CollectionConverters
-      .ListHasAsScala(java.nio.file.Files.readAllLines(blessedPath)).asScala
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val a = l.split("\t")
-        assert(a.length == 3 && a(2).trim.nonEmpty,
-          s"blessed row needs query\\tcount\\treason: $l")
-        a(0) -> a(1).toInt
+    val blessedFiles = Seq("shuffle_blessed_sf1.tsv", "shuffle_blessed_sf2.tsv")
+      .map(f => java.nio.file.Paths.get(s"src/test/resources/$f"))
+    blessedFiles.foreach { blessedPath =>
+      assert(java.nio.file.Files.exists(blessedPath), s"$blessedPath missing")
+      val blessed = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(blessedPath)).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val a = l.split("\t")
+          assert(a.length == 3 && a(2).trim.nonEmpty,
+            s"$blessedPath row needs query\\tcount\\treason: $l")
+          a(0) -> a(1).toInt
+        }
+      assert(blessed.nonEmpty)
+      blessed.foreach { case (q, c) =>
+        assert(SparkEntry.queries.contains(q),
+          s"$blessedPath blesses unknown query $q")
+        assert(budget.contains(q), s"$blessedPath: $q missing from the budget")
+        assert(budget(q) != c,
+          s"$blessedPath: $q pins $c == its test-scale budget — stale entry")
       }
-    assert(blessed.nonEmpty)
-    blessed.foreach { case (q, c) =>
-      assert(SparkEntry.queries.contains(q), s"blessed unknown query $q")
-      assert(budget.contains(q), s"blessed $q missing from the budget")
-      assert(budget(q) != c,
-        s"blessed $q pins $c == its test-scale budget — stale entry")
     }
   }
 }
