@@ -107,8 +107,12 @@ object Bench {
       val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
       // SPARK_GRAFT_BENCH_OUT redirects the full map for off-contract runs
       // (the sf1 scale-stress) so they never clobber the driver-read
-      // BENCH_FULL.json of the contract scale.
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      // BENCH_FULL.json of the contract scale. A cold run with no explicit
+      // path self-segregates the same way: cold numbers must never land in
+      // the warm contract artifact (the embedded mode field is not enough
+      // for a reader that only parses "value").
+      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .getOrElse(if (cold) "BENCH_FULL_cold.json" else "BENCH_FULL.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath), fullJson + "\n")
       catch { case e: Throwable =>

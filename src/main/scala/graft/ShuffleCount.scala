@@ -50,6 +50,17 @@ object ShuffleCount {
     counts.foreach { case (name, c) => println(s"$name\t$c") }
     spark.stop()
     if (budget.nonEmpty) {
+      // A typo'd/orphaned budget or blessed row would otherwise pass
+      // silently (the drift loop iterates COUNTS): make the standalone
+      // gate self-contained by failing on any entry that names a query
+      // the registry never planned at this scale.
+      val planned = counts.map(_._1).toSet
+      val unknown = (budget.keySet ++ blessed.keySet).diff(planned).toSeq.sorted
+      if (unknown.nonEmpty) {
+        System.err.println(s"[shufflecount] ${unknown.size} budget/blessed " +
+          s"entries name queries that never planned: ${unknown.mkString(", ")}")
+        sys.exit(1)
+      }
       val unblessedDrift = counts.flatMap { case (name, c) =>
         (budget.get(name), blessed.get(name)) match {
           case (Some(b), None) if b != c =>

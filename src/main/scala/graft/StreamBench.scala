@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput bench — the streaming analog of [[Bench]]: replays
+  * the sf tables through the stateful twins (funnel / attribution /
+  * transition / semantic-dedup) as a REAL file-source stream
+  * (Trigger.AvailableNow, parquet slice files, noop sink) and reports
+  * rows/s, per-batch latency, and final state rows per operator on ONE
+  * JSON line (full map also written to SPARK_GRAFT_STREAM_OUT, default
+  * bench/STREAM.json).
+  *
+  * Replay staging honors the keyed-state streams' cross-batch contract
+  * (per-user ts-monotone arrival): the input is globally sorted by
+  * (ts, event_id) and cut into SPARK_GRAFT_STREAM_SLICES contiguous
+  * slice files whose mod-times encode the order, so the file source
+  * (maxFilesPerTrigger=1, oldest-first) replays history exactly as a
+  * resumable log would deliver it. The single-partition row_number in
+  * the staging step is bench tooling only — the operators under test
+  * stay fully distributed (one groupByKey shuffle each).
+  *
+  * SPARK_GRAFT_STREAM_EMB_SCALED=<dir> additionally replays that dir's
+  * embeddings through semDedupStream with the model trained at the BASE
+  * sf — the trained-model maintenance discipline — demonstrating state
+  * stays bounded by DISTINCT vectors while input scales with clones.
+  */
+object StreamBench {
+  import org.apache.spark.sql.streaming.Trigger
+
+  final case class StreamStats(inputRows: Long, outputRows: Long,
+      batches: Int, wallS: Double, stateRows: Long,
+      avgBatchMs: Double, maxBatchMs: Long)
+
+  private def rmrf(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  /** Sort df by sortCols, cut into k contiguous slice files under dir
+    * (ordered names + strictly increasing mod-times), return the staged
+    * batch schema for the streaming read.
+    */
+  private def stage(df: DataFrame, sortCols: Seq[Column],
+      dir: java.nio.file.Path, k: Int): org.apache.spark.sql.types.StructType = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    require(n > 0, s"stage: empty input for $dir")
+    val w = Window.orderBy(sortCols: _*)
+    val sliced = df
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("__slice", (col("__rn") * k / n).cast("int"))
+      .persist()
+    try {
+      (0 until k).foreach { i =>
+        val tmp = dir.resolve(s"__tmp_$i")
+        sliced.filter(col("__slice") === i).drop("__rn", "__slice")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dst = dir.resolve(f"slice_$i%03d.parquet")
+        Files.move(part, dst)
+        // explicit, strictly increasing mod-times: the file source's
+        // oldest-first ordering then IS the log order, regardless of
+        // filesystem timestamp granularity
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        rmrf(tmp)
+      }
+    } finally sliced.unpersist()
+    df.sparkSession.read.parquet(dir.toString).schema
+  }
+
+  /** Run one staged replay through xform to a noop sink with
+    * AvailableNow; meter from StreamingQueryProgress.
+    */
+  private def runStream(spark: org.apache.spark.sql.SparkSession,
+      name: String, stagedDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      xform: DataFrame => DataFrame): StreamStats = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name")
+    try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir.toString)
+      val t0 = System.nanoTime()
+      val q = xform(src).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val durations = prog.map(_.durationMs.get("triggerExecution").toLong)
+      val stateRows = q.recentProgress.lastOption
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(0L)
+      StreamStats(
+        inputRows = prog.map(_.numInputRows).sum,
+        outputRows = prog.map(_.sink.numOutputRows).filter(_ >= 0).sum,
+        batches = prog.length,
+        wallS = wall,
+        stateRows = stateRows,
+        avgBatchMs = if (durations.isEmpty) 0.0
+          else durations.sum.toDouble / durations.length,
+        maxBatchMs = if (durations.isEmpty) 0L else durations.max)
+    } finally rmrf(ckpt)
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.streaming.Streams
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "bench/STREAM.json")
+    val slices = sys.env.get("SPARK_GRAFT_STREAM_SLICES").map(_.toInt).getOrElse(8)
+    val spark = GraftSession.build("graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-streambench")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, StreamStats]
+    try {
+      // events replay: one staged log feeds the three event-keyed twins
+      val evDir = root.resolve("events"); java.nio.file.Files.createDirectories(evDir)
+      val evSchema = stage(
+        Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "event_type"),
+        Seq(col("ts"), col("event_id")), evDir, slices)
+      results += "funnel" -> runStream(spark, "funnel", evDir, evSchema,
+        df => Streams.funnelStream(df.as[Streams.FunnelEvent]).toDF)
+      results += "attribution" -> runStream(spark, "attribution", evDir, evSchema,
+        df => Streams.attributionStream(df.as[Streams.AttrEvent]).toDF)
+      results += "transition" -> runStream(spark, "transition", evDir, evSchema,
+        df => Streams.transitionStream(df.as[Streams.TransEvent]).toDF)
+
+      // embeddings replay: semantic dedup with the base-trained model
+      val (cents, _) = graft.operators.Similarity.ivfPqModel(spark, sfDir)
+      val embDir = root.resolve("emb"); java.nio.file.Files.createDirectories(embDir)
+      val embSchema = stage(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("embedding")),
+        Seq(col("vec_id")), embDir, slices)
+      results += "semdedup" -> runStream(spark, "semdedup", embDir, embSchema,
+        df => Streams.semDedupStream(df, cents).toDF)
+
+      sys.env.get("SPARK_GRAFT_STREAM_EMB_SCALED").foreach { scaled =>
+        val sDir = root.resolve("emb_scaled")
+        java.nio.file.Files.createDirectories(sDir)
+        val sSchema = stage(
+          Tables.embeddings(spark, scaled).select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("embedding")),
+          Seq(col("vec_id")), sDir, slices)
+        results += "semdedup_scaled" -> runStream(spark, "semdedup_scaled",
+          sDir, sSchema, df => Streams.semDedupStream(df, cents).toDF)
+      }
+    } finally rmrf(root)
+
+    def f1(v: Double): String = (math.rint(v * 10) / 10).toString
+    def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val body = results.map { case (name, s) =>
+      val rps = if (s.wallS > 0) s.inputRows / s.wallS else 0.0
+      s""""$name":{"input_rows":${s.inputRows},"output_rows":${s.outputRows},""" +
+        s""""batches":${s.batches},"wall_s":${f3(s.wallS)},""" +
+        s""""rows_per_s":${f1(rps)},"state_rows":${s.stateRows},""" +
+        s""""avg_batch_ms":${f1(s.avgBatchMs)},"max_batch_ms":${s.maxBatchMs}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"stream_bench","slices":$slices,"streams":$body,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] $outPath not written: ${e.getMessage}")
+    }
+    println(json)
+    spark.stop()
+  }
+}

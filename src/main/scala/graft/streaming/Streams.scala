@@ -547,9 +547,21 @@ object Streams {
   /** Per-cell delegate store: one entry per DISTINCT quantized vector
     * seen, capped — mids/qvs/qns are parallel (columnar keeps the state
     * row a flat product encoder, no nested-case-class plumbing).
+    * maxSeen tracks the highest vec_id the cell has processed across
+    * batches, making the parity precondition (globally ascending
+    * arrival) observable at runtime instead of only assumed.
     */
   final case class SemCellState(mids: Seq[Long], qvs: Seq[Seq[Long]],
-      qns: Seq[Double])
+      qns: Seq[Double], maxSeen: Long = Long.MinValue)
+
+  /** Arrivals whose vec_id regressed below their cell's max-seen — the
+    * runtime signal that semDedupStream's batch-parity assumption was
+    * violated (verdicts become first-arrival-wins, not batch min-id).
+    * Registered per [[semDedupStream]] call; the latest lives here so
+    * operators/specs can read it without a return-type change, and it
+    * also surfaces as a named accumulator in the Spark UI.
+    */
+  @volatile var semDedupOutOfOrder: Option[org.apache.spark.util.LongAccumulator] = None
 
   /** Streaming SEMANTIC DEDUP — the incremental twin of q_semdedup.
     * Arrivals quantize and coarse-assign statelessly (same trained-model
@@ -577,6 +589,12 @@ object Streams {
     * where strict batch semantics would drop it as a non-minimal group
     * member; at the published-recipe operating point (cap provisioned
     * above the distinct cell population) the case is unreachable.
+    *
+    * The ascending-arrival precondition is ENFORCED OBSERVABLE: each
+    * cell tracks its max-seen vec_id across batches, and any regression
+    * increments [[semDedupOutOfOrder]] (a named accumulator, visible in
+    * the UI) plus a stderr warning — production divergence from batch
+    * semantics is signaled, not silent.
     */
   def semDedupStream(vecs: DataFrame,
       centroids: Seq[(Long, Seq[Double])],
@@ -587,6 +605,9 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(centroids.nonEmpty,
       "semDedupStream: empty model — train the coarse quantizer first")
+    val oooAcc = vecs.sparkSession.sparkContext
+      .longAccumulator("graft.semDedupStream.outOfOrderArrivals")
+    semDedupOutOfOrder = Some(oooAcc)
     quantizeArrivals(vecs)
       .select(col("vec_id"), cellCol(centroids).as("cid"), col("qv"))
       .as[SemArrival]
@@ -602,9 +623,15 @@ object Streams {
             while (i < a.length) { s += a(i) * b(i); i += 1 }; s
           }
           val out = Seq.newBuilder[SemVerdict]
+          var maxSeen = st.maxSeen
+          var cellOoo = 0L
           // ascending vec_id within the batch: arrival order IS group-min
-          // order, the invariant the batch parity rests on
+          // order, the invariant the batch parity rests on. Cross-batch
+          // regressions (this batch's ids dipping below a prior batch's
+          // max) break that invariant — count + warn, don't silently
+          // produce first-arrival-wins verdicts.
           it.toSeq.sortBy(_.vec_id).foreach { a =>
+            if (a.vec_id < maxSeen) cellOoo += 1 else maxSeen = a.vec_id
             val qn = math.sqrt(dot(a.qv, a.qv).toDouble)
             val exact = qvs.indexWhere(_ == a.qv)
             val dropped =
@@ -622,7 +649,13 @@ object Streams {
               mids += a.vec_id; qvs += a.qv; qns += qn
             }
           }
-          state.update(SemCellState(mids.toSeq, qvs.toSeq, qns.toSeq))
+          if (cellOoo > 0) {
+            oooAcc.add(cellOoo)
+            System.err.println(s"[semDedupStream] cell $cid: $cellOoo " +
+              "arrival(s) below the cell's max-seen vec_id — batch-parity " +
+              "precondition violated; verdicts are first-arrival-wins here")
+          }
+          state.update(SemCellState(mids.toSeq, qvs.toSeq, qns.toSeq, maxSeen))
           out.result().iterator
       }
   }

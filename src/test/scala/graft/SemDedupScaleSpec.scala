@@ -10,9 +10,26 @@ import org.apache.spark.sql.functions._
   * collapsed formulation returns byte-identical statuses to the naive
   * all-pairs one.
   */
-class SemDedupScaleSpec extends SparkSpec {
+class SemDedupScaleSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   import graft.operators.Similarity
+
+  @volatile private var cloneDirCreated: Option[String] = None
+
+  override def afterAll(): Unit = {
+    // the replicated fixture is ~5x the embeddings table per run — delete
+    // it rather than leaking a temp dir per test invocation
+    cloneDirCreated.foreach { d =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val root = Path.of(d)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
 
   /** sf0.001 embeddings replicated ×5 under ScaleUp's disjoint key-offset
     * rule — the same clone-family shape the sf1 stress uses (inline: the
@@ -20,6 +37,7 @@ class SemDedupScaleSpec extends SparkSpec {
     */
   private lazy val cloneDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    cloneDirCreated = Some(dir)
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
     (0 until 5).map(i =>
         base.withColumn("vec_id", col("vec_id") + lit(i * ScaleUp.KeyOffset)))

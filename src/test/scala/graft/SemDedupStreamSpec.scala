@@ -76,6 +76,17 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(dup(5L)._2 === "dropped")
   }
 
+  test("out-of-order cross-batch arrivals are counted, in-order stays 0") {
+    val cents = Seq(0L -> Seq.fill(8)(0.0))
+    def v(xs: Double*): Seq[Double] = xs.toSeq.padTo(8, 0.0)
+    // in-order: two ascending batches -> accumulator 0
+    runStream(Seq(Seq(1L -> v(1.0)), Seq(2L -> v(0.0, 1.0))), cents)
+    assert(Streams.semDedupOutOfOrder.map(_.value) === Some(0L))
+    // regression: batch 2's id dips below batch 1's max-seen -> counted
+    runStream(Seq(Seq(5L -> v(1.0)), Seq(2L -> v(0.0, 1.0))), cents)
+    assert(Streams.semDedupOutOfOrder.map(_.value) === Some(1L))
+  }
+
   test("empty model fails fast") {
     intercept[IllegalArgumentException] {
       Streams.semDedupStream(
