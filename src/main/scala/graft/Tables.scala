@@ -44,8 +44,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    withNanoTs(table(s, d, "events"), "ts")
+
+  /** Hive-style partition column surfaced when events is stored as a
+    * date-partitioned directory (events.parquet/event_date=YYYY-MM-DD/…,
+    * the layout a 100 TB event log actually has — see PartitionEvents).
+    * Loaders drop it so both layouts present the identical 6-column
+    * schema to every operator; eventsInRange turns it into a partition
+    * filter FIRST, so date-range scans list only the in-range day dirs.
+    */
+  val EventsPartCol = "event_date"
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    val flat = if (raw.columns.contains(EventsPartCol))
+      raw.drop(EventsPartCol) else raw
+    withNanoTs(flat, "ts")
+  }
 
   /** events bounded to [from, until) with the predicate applied on the RAW
     * stored column BEFORE the timestamp normalization, so it pushes into the
@@ -61,13 +75,30 @@ object Tables {
     def ldt(ts: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    // Derived partition predicate: when the layout is date-partitioned,
+    // event_date == date(ts) by construction (PartitionEvents), so the ts
+    // range implies event_date ∈ [date(from), date(last in-range instant)].
+    // The redundant bound is what Catalyst turns into PartitionFilters —
+    // the scan then LISTS only the in-range day directories, the file-level
+    // analog of skipping 99.99% of a year-partitioned 100 TB event log.
+    // An `until` at exactly midnight excludes its whole day (ts < until).
+    val pruned = if (raw.columns.contains(EventsPartCol)) {
+      val u = ldt(until)
+      val lastDay = if (u.toLocalTime == java.time.LocalTime.MIDNIGHT)
+        u.toLocalDate.minusDays(1) else u.toLocalDate
+      raw.where(col(EventsPartCol) >= lit(java.sql.Date.valueOf(ldt(from).toLocalDate)) &&
+        col(EventsPartCol) <= lit(java.sql.Date.valueOf(lastDay)))
+    } else raw
+    val ranged = pruned.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
-        withNanoTs(raw.where(
-          col("ts") >= lit(ldt(from)) && col("ts") < lit(ldt(until))), "ts")
+        pruned.where(
+          col("ts") >= lit(ldt(from)) && col("ts") < lit(ldt(until)))
       case _ =>
-        raw.where(col("ts") >= from && col("ts") < until)
+        pruned.where(col("ts") >= from && col("ts") < until)
     }
+    val flat = if (ranged.columns.contains(EventsPartCol))
+      ranged.drop(EventsPartCol) else ranged
+    withNanoTs(flat, "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -69,6 +69,53 @@ class PlanAuditSpec extends SparkSpec {
       pushed.contains("LessThan(ts"), s"PushedFilters: $pushed")
   }
 
+  test("date-partitioned events layout: range queries prune day directories") {
+    // The pruning seam (Tables.eventsInRange derived partition predicate)
+    // against the layout PartitionEvents writes: a 1-day range over a
+    // multi-day partitioned log must (a) plan non-empty PartitionFilters,
+    // (b) actually READ only that day's files, (c) return byte-identical
+    // rows to the flat layout, and (d) present the flat 6-column schema.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-").toFile
+    try {
+      val out = s"${dir.getAbsolutePath}/events.parquet"
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn(Tables.EventsPartCol, to_date(col("ts")))
+        .repartition(col(Tables.EventsPartCol))
+        .write.partitionBy(Tables.EventsPartCol).parquet(out)
+      val totalDays = spark.read.parquet(out)
+        .select(Tables.EventsPartCol).distinct().count()
+      assert(totalDays > 1, "fixture must span multiple days to prune")
+      val ranged = Tables.eventsInRange(spark, dir.getAbsolutePath,
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      assert(ranged.columns.toSeq ==
+        Tables.events(spark, sfDir).columns.toSeq,
+        "partitioned layout must present the flat events schema")
+      val rows = ranged.collect() // execute so scan metrics are final
+      val scan = ranged.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      val pf = scan.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains(Tables.EventsPartCol), s"PartitionFilters: $pf")
+      // one in-range day out of totalDays: the scan may list at most the
+      // files of that single day directory (repartition above wrote 1)
+      val totalFiles = spark.read.parquet(out).inputFiles.length
+      val readFiles = scan.metrics("numFiles").value
+      assert(readFiles < totalFiles && readFiles >= 1,
+        s"pruning read $readFiles of $totalFiles files")
+      val flat = Tables.eventsInRange(spark, sfDir,
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00").collect()
+      assert(rows.map(_.toString).sorted.toSeq ==
+        flat.map(_.toString).sorted.toSeq,
+        "partitioned and flat layouts must return identical rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   /** Queries whose plan legitimately contains an UNPARTITIONED window —
     * the classic 100 TB killer (all rows to one task), acceptable ONLY
     * when the frame under the window is provably domain-bounded, never

@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Round-end evidence target: one command that reproduces every gate the
+# round must ship green, in dependency order, failing fast on the first
+# red. The r9 failure mode (an evidence artifact silently missing at
+# snapshot time) becomes a tooling guarantee instead of a discipline one.
+#
+#   tools/round_end.sh            # test + verify/oracle(sf0.01) + bench(sf0.1)
+#   SCALE_DIRS="target/sf1 target/sf2" tools/round_end.sh   # + scale gates
+#
+# Developer tooling only — the engine itself is the Scala library.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 sbt test (includes shuffle-budget, BNL, window, pruning nets)"
+sbt -batch test
+
+echo "== 2/4 Verify + type-strict oracle at sf0.01 (the driver's gate)"
+OUT=${OUT:-/tmp/verify_round_end}
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
+python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT"
+
+echo "== 3/4 contract bench at sf0.1 (writes BENCH_FULL.json)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+  | grep '"metric"' | sed 's/^\[info\] //'
+
+echo "== 4/4 scale-aware shuffle gates (set SCALE_DIRS to enable)"
+for d in ${SCALE_DIRS:-}; do
+  sf=$(basename "$d")
+  blessed="src/test/resources/shuffle_blessed_${sf}.tsv"
+  echo "--- gate at $d (blessed: $blessed)"
+  sbt -batch "runMain graft.ShuffleCount $d \
+    src/test/resources/shuffle_budget.tsv $blessed" >/dev/null
+done
+echo "round_end: ALL GREEN"
