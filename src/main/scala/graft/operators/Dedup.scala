@@ -282,6 +282,139 @@ object Dedup {
         .repartition(col("g"), col("k"))
         .persist())
 
+  /** Delegate-only band keys, pre-partitioned on (g, k) — the candidate
+    * source for the PAIR-shaped MinHash queries (see dupGroups: identical
+    * token-hash arrays ⇒ identical signatures ⇒ identical band keys, so
+    * band-bucket membership is decidable at the delegate level and bucket
+    * sizes stay bounded by distinct content, not duplicate multiplicity).
+    * The full [[minhashBands]] stays for the LINEAR consumers (the
+    * incremental probe's batch side, the signature dump).
+    */
+  private def minhashBandsDelegates(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"minhash-bands-delegates:$d:${graft.Caches.fingerprint(s, d)}",
+      bandsFromSig(minhashSigs(s, d).where(size(col("hs")) > 0)
+          .join(delegateIds(s, d), Seq("doc_id"), "left_semi"))
+        .repartition(col("g"), col("k"))
+        .persist())
+
+  /** Exact-duplicate collapse membership over the shingle-bearing corpus:
+    * (doc_id, gid), gid = min doc_id among documents with an IDENTICAL
+    * token-hash array. Every pairwise dedup feature in this module
+    * (shingle set, capped shingle set, 10-gram span set, MinHash
+    * signature, band keys) is a pure function of `th`, so members of a
+    * group are interchangeable in ANY of the pair computations — which
+    * is what lets every quadratic candidate stage run over one DELEGATE
+    * per group and expand afterwards. Under ×m exact-clone replication
+    * (a real web corpus's mirror/repost multiplicity; ScaleUp's clone
+    * families) the delegate population is CONSTANT while the naive pair
+    * stages grow m² — the ×100 replica run killed the uncapped postings
+    * join with exactly that blowup (its intermediate grew ×10⁴ and
+    * filled the disk) before this collapse existed.
+    *
+    * One linear shuffle keyed on the array itself (Spark arrays are
+    * group-comparable — same idiom as Similarity.semDedupGrouped); the
+    * persisted frame is two BIGINTs per doc.
+    */
+  private[operators] def dupGroups(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"dup-groups:$d:${graft.Caches.fingerprint(s, d)}",
+      shingled(s, d).where(size(col("hs")) > 0)
+        .select(col("doc_id"), col("th"))
+        .withColumn("gid", min("doc_id").over(Window.partitionBy("th")))
+        .select("doc_id", "gid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Delegate doc_ids (one per exact-dup group) — the population every
+    * quadratic pair stage runs over.
+    */
+  private def delegateIds(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    dupGroups(s, d).where(col("doc_id") === col("gid")).select("doc_id")
+
+  /** Expand delegate-level pairs (a_id, b_id = gids, payload…) to the
+    * full doc-level pair list: each delegate pair fans out to
+    * members(A) × members(B), re-oriented so a_id < b_id (groups are
+    * disjoint, so least/greatest is total). Payload columns ride along
+    * unchanged — cross-group member pairs share their delegates' exact
+    * feature sets, so jaccard / n_spans / n_eq are THE same values, not
+    * approximations. The two membership joins are output-bound: their
+    * intermediates ARE the result rows.
+    */
+  private[operators] def expandDelegatePairs(dpairs: DataFrame,
+      mem: DataFrame): DataFrame = {
+    val payload = dpairs.columns.filterNot(c => c == "a_id" || c == "b_id")
+    dpairs
+      .withColumnRenamed("a_id", "__ga").withColumnRenamed("b_id", "__gb")
+      .join(mem.select(col("gid").as("__ga"), col("doc_id").as("__xa")),
+        Seq("__ga"))
+      .join(mem.select(col("gid").as("__gb"), col("doc_id").as("__xb")),
+        Seq("__gb"))
+      .select(least(col("__xa"), col("__xb")).as("a_id") +:
+        greatest(col("__xa"), col("__xb")).as("b_id") +:
+        payload.map(col): _*)
+  }
+
+  /** Within-group member pairs (a_id < b_id) for the groups listed in
+    * `eligible` (gid [+ payload columns to carry]). Self-join of the
+    * membership frame on gid — intermediate = output, the expansion's
+    * other output-bound half.
+    */
+  private[operators] def withinGroupPairs(mem: DataFrame,
+      eligible: DataFrame): DataFrame = {
+    val payload = eligible.columns.filterNot(_ == "gid")
+    mem.select(col("gid"), col("doc_id").as("a_id"))
+      .join(mem.select(col("gid"), col("doc_id").as("b_id")), Seq("gid"))
+      .where(col("a_id") < col("b_id"))
+      .join(eligible, Seq("gid"))
+      .select(col("a_id") +: col("b_id") +: payload.map(col): _*)
+  }
+
+  /** Collapsed build of the df-capped Jaccard pairs: delegate postings
+    * with each shingle's document frequency computed over the FULL corpus
+    * (delegates weighted by group size — Σ m over groups containing the
+    * shingle ≡ the naive per-doc count, so the hot set is identical),
+    * the surviving delegate postings self-joined at base scale, then the
+    * output-bound expansion. The capped shingle set is a pure function of
+    * `th`, so group members share it and within-group pairs sit at
+    * jaccard 1.0 — but ONLY for groups with ≥1 surviving posting (a doc
+    * whose every shingle is boilerplate emits no postings, hence no pair
+    * with its own exact clone — preserved by the eligibility filter).
+    * maxDf: Left(absolute cap) or Right(df fraction of corpus size).
+    */
+  private def cappedNgramPairsCollapsed(s: org.apache.spark.sql.SparkSession,
+      d: String, maxDf: Either[Long, Double]): DataFrame = {
+    val mem = dupGroups(s, d)
+    val gsizes = mem.groupBy("gid").agg(count(lit(1)).as("m"))
+    val key = maxDf.fold(c => s"abs:$c", f => s"frac:$f")
+    val ex = graft.Caches.getOrElseUpdate(
+      s"capped-dpostings:$d:${graft.Caches.fingerprint(s, d)}:$key", {
+        val ex0 = shingled(s, d).where(size(col("hs")) > 0)
+          .join(delegateIds(s, d), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("hs")).as("hsh"))
+        val dfs = ex0
+          .join(gsizes.select(col("gid").as("doc_id"), col("m")), Seq("doc_id"))
+          .groupBy("hsh").agg(sum("m").as("df"))
+        val hot = maxDf match {
+          case Left(cap) => dfs.where(col("df") > cap).select("hsh")
+          case Right(frac) =>
+            val n = gsizes.agg(sum("m").as("n_docs"))
+            dfs.crossJoin(broadcast(n))
+              .where(col("df") > ceil(lit(frac) * col("n_docs")).cast("long"))
+              .select("hsh")
+        }
+        ex0.join(broadcast(hot), Seq("hsh"), "left_anti")
+          .repartition(col("hsh")).persist()
+      })
+    val dpairs = ngramJaccardPairsUnordered(ex, threshold = 0.5)
+    val eligible = ex.select(col("doc_id").as("gid")).distinct()
+      .withColumn("jaccard", lit(1.0))
+    expandDelegatePairs(dpairs, mem)
+      .unionByName(withinGroupPairs(mem, eligible))
+  }
+
   /** Spark side of the inverted-index n-gram Jaccard pairs (threshold 0.5)
     * — the q_dedup_ngram plan, shared with the cluster-resolution query.
     */
@@ -298,8 +431,16 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def ngramPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // The quadratic half (postings self-join) runs over DELEGATES only —
+    // one doc per distinct token-hash array — so its intermediate volume
+    // is bounded by the distinct-content population, not the corpus size
+    // (the naive form's per-shingle pair volume grows with the SQUARE of
+    // duplicate multiplicity: at the ×100 replica rung it spilled >70 GB
+    // and died; collapsed, the same stage is base-scale).
+    val mem = dupGroups(s, d)
     val base = shingled(s, d)
       .where(size(col("hs")) > 0)
+      .join(delegateIds(s, d), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
     val ex = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
     val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
@@ -308,13 +449,21 @@ object Dedup {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("i"))
     val sizes = base.select(col("doc_id"), col("n"))
-    counts
+    val dpairs = counts
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .as("jaccard"))
       .where(col("jaccard") >= 0.5)
+    // Cross-group member pairs inherit their delegates' jaccard exactly
+    // (identical shingle sets); within-group pairs are exact duplicates at
+    // jaccard i/i = 1.0 (IEEE x/x is exactly 1.0 for any finite count),
+    // matching the oracle's arithmetic bit-for-bit.
+    expandDelegatePairs(dpairs, mem).unionByName(
+      withinGroupPairs(mem,
+        delegateIds(s, d).select(col("doc_id").as("gid"))
+          .withColumn("jaccard", lit(1.0))))
   }
 
   /** Near-dup cluster labels (id, lab) — the converged connected
@@ -462,7 +611,12 @@ object Dedup {
 
   private def calibrationPairsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
+    // Collapsed (see dupGroups): candidates + the hs/mharr verify run over
+    // delegates; within-group pairs are identical-signature candidates by
+    // construction (all 4 bands equal) at n_eq 16, est 1.0, jaccard 1.0.
+    val mem = dupGroups(s, d)
     val sig = minhashSigs(s, d).where(size(col("hs")) > 0)
+      .join(delegateIds(s, d), Seq("doc_id"), "left_semi")
       .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
     val withBands = sig.withColumn("bands", array(
       (0 until 4).map { g =>
@@ -483,7 +637,7 @@ object Dedup {
     val side = sig.select(col("doc_id"), col("hs"), col("mharr"))
     val i = size(array_intersect(col("a_hs"), col("b_hs")))
     val u = size(col("a_hs")) + size(col("b_hs")) - i
-    cand
+    val dpairs = cand
       .join(side.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
         col("mharr").as("a_mh")), Seq("a_id"))
       .join(side.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
@@ -496,6 +650,12 @@ object Dedup {
       .where(col("u") > 0)
       .select(col("a_id"), col("b_id"), col("n_eq"),
         (col("n_eq") / lit(16.0)).as("est_jaccard"), col("jaccard"))
+    expandDelegatePairs(dpairs, mem)
+      .unionByName(withinGroupPairs(mem,
+        delegateIds(s, d).select(col("doc_id").as("gid"))
+          .withColumn("n_eq", lit(16L))
+          .withColumn("est_jaccard", lit(1.0))
+          .withColumn("jaccard", lit(1.0))))
   }
 
   /** DuckDB CTE chain ending in `pairs(a_id, b_id, jaccard)` — the oracle
@@ -680,25 +840,16 @@ object Dedup {
          |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
          |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      // the postings side feeds 4 plan references — persist it once per
-      // dir (Caches registry: fingerprinted key, clear() lifecycle)
-      // persisted pre-partitioned on hsh: the self-join's both sides then
-      // read the cached partitioning and need NO exchange — the postings
-      // shuffle once at build, not twice per run
-      val ex = graft.Caches.getOrElseUpdate(
-        s"capped-postings:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf",
-        cappedPostings(
-          shingled(s, d).where(size(col("hs")) > 0)
-            .select(col("doc_id"), col("hs")),
-          maxDf = NgramMaxDf).repartition(col("hsh")).persist())
       // the PAIR frame is the built dedup index (same index-build-once
       // discipline as the uncapped ngramPairs) — tiny (true near-dups
-      // only), while its build is the quadratic half of the query
-      // key carries the Jaccard threshold too (ADVICE r8): a caller at a
-      // different threshold must not be served the 0.5-threshold pairs
+      // only), while its build is the quadratic half of the query.
+      // Collapsed build: postings/df/self-join at delegate scale (the
+      // naive per-doc form re-pairs every clone family m² times; see
+      // dupGroups). key carries the Jaccard threshold too (ADVICE r8):
+      // a caller at a different threshold must not be served these pairs
       graft.Caches.getOrElseUpdate(
         s"capped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDf:0.5",
-        ngramJaccardPairsUnordered(ex, threshold = 0.5)
+        cappedNgramPairsCollapsed(s, d, Left(NgramMaxDf.toLong))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("a_id", "b_id")
     },
@@ -729,16 +880,17 @@ object Dedup {
          |FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
          |WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      // pre-partitioned on hsh like the absolute-cap postings — the
-      // per-run self-join rides the cached partitioning, no exchange
-      val ex = fcappedPostings(s, d)
       // pair frame memoized like the absolute-cap variant — at the
       // fractional cap (df <= 50 at sf0.1) the pair emission is the
-      // suite's heaviest stage, and it rebuilds the same tiny index
-      // threshold in the key for the same reason as capped-pairs above
+      // suite's heaviest stage, and it rebuilds the same tiny index.
+      // Collapsed build is load-bearing HERE specifically: the fractional
+      // cap scales with N, so clone-inflated postings stay UNDER it and
+      // the naive self-join inherits the full m² blowup (measured fatal
+      // at the ×100 replica rung). threshold in the key for the same
+      // reason as capped-pairs above
       graft.Caches.getOrElseUpdate(
         s"fcapped-pairs:$d:${graft.Caches.fingerprint(s, d)}:$NgramMaxDfFrac:0.5",
-        ngramJaccardPairsUnordered(ex, threshold = 0.5)
+        cappedNgramPairsCollapsed(s, d, Right(NgramMaxDfFrac))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("a_id", "b_id")
     },
@@ -788,8 +940,15 @@ object Dedup {
       // Exact verify runs on shingle hashes (see q_dedup_ngram perf note);
       // candidate pairs travel id-only, the hash arrays join back after
       // the distinct — payload arrays never go through the pair shuffle.
+      // Collapsed (see dupGroups): banding, bucket pairing, and the
+      // hs-array verify all run over delegates — the naive verify joined
+      // KB-sized shingle arrays onto a candidate set that grows m² under
+      // clone multiplicity (hundreds of GB at the ×100 rung); within a
+      // group every pair shares all 4 bands and sits at jaccard 1.0.
+      val mem = dupGroups(s, d)
       val sig = minhashSigs(s, d).where(size(col("hs")) > 0)
-      val exploded = minhashBands(s, d)
+        .join(delegateIds(s, d), Seq("doc_id"), "left_semi")
+      val exploded = minhashBandsDelegates(s, d)
       val a = exploded.select(col("doc_id").as("a_id"), col("g"), col("k"))
       val b = exploded.select(col("doc_id").as("b_id"), col("g"), col("k"))
       val cand = a.join(b, Seq("g", "k"))
@@ -799,13 +958,17 @@ object Dedup {
       val hsOnly = sig.select(col("doc_id"), col("hs"))
       val i = size(array_intersect(col("a_hs"), col("b_hs")))
       val u = size(col("a_hs")) + size(col("b_hs")) - i
-      cand
+      val dpairs = cand
         .join(hsOnly.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
         .join(hsOnly.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           (i.cast("double") / u).as("jaccard"), u.as("u"))
         .where(col("u") > 0 && col("jaccard") >= 0.5)
         .drop("u")
+      expandDelegatePairs(dpairs, mem)
+        .unionByName(withinGroupPairs(mem,
+          delegateIds(s, d).select(col("doc_id").as("gid"))
+            .withColumn("jaccard", lit(1.0))))
         .orderBy("a_id", "b_id")
     },
 
@@ -979,14 +1142,26 @@ object Dedup {
       // pair frame memoized like the capped Jaccard variants — the
       // 10-gram roll + near-unique-key aggregation is the suite's most
       // compute-bound stage and rebuilds an identical index every run
+      // Collapsed build (see dupGroups): span sets are a pure function of
+      // th, so the rolling-hash index runs over delegates and the clone
+      // fan-out happens output-bound at the end — the naive form emits
+      // every clone pair once PER SHARED SPAN before the (a,b) rollup,
+      // i.e. Σ n_spans rows, which under ×m multiplicity is m²·|sh| per
+      // family (billions at the ×100 rung); collapsed, each expanded pair
+      // is emitted exactly once with its n_spans carried.
       graft.Caches.getOrElseUpdate(
         s"span-pairs:$d:${graft.Caches.fingerprint(s, d)}", {
-          val ex = shingled(s, d)
+          val mem = dupGroups(s, d)
+          val dsh = shingled(s, d)
+            .join(delegateIds(s, d), Seq("doc_id"), "left_semi")
             .select(col("doc_id"), expr(spanSparkExpr).as("sh"))
             .where(size(col("sh")) > 0)
-            .select(col("doc_id"), explode(col("sh")).as("hsh"))
-          pairCounts(ex)
-            .withColumnRenamed("n_shared", "n_spans")
+          val ex = dsh.select(col("doc_id"), explode(col("sh")).as("hsh"))
+          val dpairs = pairCounts(ex).withColumnRenamed("n_shared", "n_spans")
+          val eligible = dsh.select(col("doc_id").as("gid"),
+            size(col("sh")).cast("long").as("n_spans"))
+          expandDelegatePairs(dpairs, mem)
+            .unionByName(withinGroupPairs(mem, eligible))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         })
         .orderBy("a_id", "b_id")
@@ -1179,19 +1354,44 @@ object Dedup {
         |WHERE list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val e = Similarity.vecs(s, d) // shared persisted (v, nrm) frame
-      val a = e.select(col("vec_id").as("a_id"), col("label"),
+      // Collapsed on exact vector content within the block (same pattern
+      // as dupGroups for text; q_semdedup's delegate collapse for the
+      // quantized space): the blocked self-join runs over one delegate
+      // per distinct (label, v), so block-internal pair volume is bounded
+      // by distinct vectors — the naive join carries two double arrays
+      // per candidate row and grows m² under clone multiplicity.
+      val mem = graft.Caches.getOrElseUpdate(
+        s"vec-groups:$d:${graft.Caches.fingerprint(s, d)}",
+        e.withColumn("gid",
+            min("vec_id").over(Window.partitionBy("label", "v")))
+          .select(col("vec_id").as("doc_id"), col("gid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val del = e.join(mem.where(col("doc_id") === col("gid"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val a = del.select(col("vec_id").as("a_id"), col("label"),
         col("v").as("av"), col("nrm").as("an"))
-      val b = e.select(col("vec_id").as("b_id"), col("label"),
+      val b = del.select(col("vec_id").as("b_id"), col("label"),
         col("v").as("bv"), col("nrm").as("bn"))
       // try_divide: zero-norm vectors -> NULL cosine (DuckDB /0 semantics),
       // not an ANSI crash; codegen'd primitive-loop dot (same fold order)
       val cos = try_divide(
         graft.functions.ArrayOps.dotDouble(col("av"), col("bv")),
         col("an") * col("bn"))
-      a.join(b, Seq("label"))
+      val dpairs = a.join(b, Seq("label"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), cos.as("cosine"))
         .where(col("cosine") >= 0.4)
+      // Within-group pairs carry the delegate's SELF-cosine dot(v,v)/nrm²
+      // — computed, not lit(1.0): sqrt rounding means nrm² ≠ Σx² in the
+      // last ulp, and the oracle divides the same two quantities. NULL
+      // (zero-norm) self-cosine fails the ≥ 0.4 filter, so zero vectors
+      // never pair with their own clones — the oracle's NULL semantics.
+      val selfCos = del.select(col("vec_id").as("gid"),
+          try_divide(graft.functions.ArrayOps.dotDouble(col("v"), col("v")),
+            col("nrm") * col("nrm")).as("cosine"))
+        .where(col("cosine") >= 0.4)
+      expandDelegatePairs(dpairs, mem)
+        .unionByName(withinGroupPairs(mem, selfCos))
         .orderBy("a_id", "b_id")
     },
 
