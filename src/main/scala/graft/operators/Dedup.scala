@@ -317,7 +317,7 @@ object Dedup {
     * group-comparable — same idiom as Similarity.semDedupGrouped); the
     * persisted frame is two BIGINTs per doc.
     */
-  private[operators] def dupGroups(s: org.apache.spark.sql.SparkSession,
+  private[graft] def dupGroups(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.Caches.getOrElseUpdate(
       s"dup-groups:$d:${graft.Caches.fingerprint(s, d)}",
@@ -418,7 +418,7 @@ object Dedup {
   /** Spark side of the inverted-index n-gram Jaccard pairs (threshold 0.5)
     * — the q_dedup_ngram plan, shared with the cluster-resolution query.
     */
-  private[operators] def ngramPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ngramPairs(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     // memoized + persisted: SIX consumers (the pair dump, the Jaccard
     // histogram, the degree distribution, split assignment, and the CC /

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-hardening net for the document dedup family's exact-duplicate
+  * collapse (the ×100 replica rung's disk-filling lesson: every pairwise
+  * stage — uncapped/capped n-gram Jaccard, 10-gram spans, MinHash verify,
+  * embedding cosine — had an intermediate that grows with the SQUARE of
+  * duplicate multiplicity). Pins, on a ×5 clone fixture built with
+  * ScaleUp's disjoint key-offset rule:
+  *
+  *  1. the MECHANISM — the delegate population (and with it the quadratic
+  *     stage's input) does not move under clone replication;
+  *  2. EXACTNESS — the collapsed formulations return the identical pair
+  *     sets a from-scratch naive implementation computes on the cloned
+  *     corpus (the naive forms are re-derived inline from the TextHash
+  *     expression fragments, not imported from the module under test).
+  */
+class DedupCollapseSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  import graft.operators.Dedup
+
+  @volatile private var cloneDirCreated: Option[String] = None
+
+  override def afterAll(): Unit = {
+    cloneDirCreated.foreach { d =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val root = Path.of(d)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
+
+  /** sf0.001 documents + embeddings replicated ×5 under disjoint id
+    * ranges — the clone-family shape of the scale replicas.
+    */
+  private lazy val cloneDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupcol").toString
+    cloneDirCreated = Some(dir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 5).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * ScaleUp.KeyOffset)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until 5).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * ScaleUp.KeyOffset)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Naive (pre-collapse) n-gram Jaccard pairs, re-derived from the public
+    * TextHash fragments — the reference implementation the collapse must
+    * reproduce bit-for-bit.
+    */
+  private def naiveNgramPairs(d: String): DataFrame = {
+    import graft.functions.TextHash._
+    val base = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+      .withColumn("th", expr(hashArraySpark("toks")))
+      .withColumn("hs", expr(shingleHashesSpark("th")))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      .persist()
+    val ex = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
+    val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val sizes = base.select(col("doc_id"), col("n"))
+    counts
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  test("delegate population is invariant under ×5 clone replication") {
+    val baseDelegates = Dedup.dupGroups(spark, sfDir)
+      .where(col("doc_id") === col("gid")).count()
+    val cloneDelegates = Dedup.dupGroups(spark, cloneDir)
+      .where(col("doc_id") === col("gid")).count()
+    val baseMembers = Dedup.dupGroups(spark, sfDir).count()
+    val cloneMembers = Dedup.dupGroups(spark, cloneDir).count()
+    assert(baseDelegates > 0L)
+    assert(cloneDelegates === baseDelegates,
+      s"delegate count moved under clones: $baseDelegates -> $cloneDelegates" +
+        " — the quadratic stage is seeing duplicate multiplicity")
+    assert(cloneMembers === baseMembers * 5,
+      "membership must cover every replica exactly once")
+  }
+
+  test("collapsed ngram pairs == naive inverted-index pairs on the clone corpus") {
+    val naive = naiveNgramPairs(cloneDir)
+    val collapsed = Dedup.ngramPairs(spark, cloneDir)
+    val naiveCount = naive.count()
+    assert(naiveCount > 0L, "clone fixture produced no naive pairs")
+    assert(collapsed.count() === naiveCount)
+    // full-row set equality including the float: jaccard values are the
+    // same two-integer divisions in both forms, so exceptAll is exact
+    assert(collapsed.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(collapsed).count() === 0L)
+    // and the clone algebra is visible: a pair of replicas of the SAME
+    // base doc (ids congruent mod the replica offset) is an exact dup
+    // and must score jaccard exactly 1.0
+    val badClonePairs = collapsed
+      .where((col("b_id") - col("a_id")) % ScaleUp.KeyOffset === 0 &&
+        col("jaccard") =!= 1.0)
+    assert(badClonePairs.count() === 0L,
+      "a clone pair (same base id, different replica) scored jaccard != 1.0")
+  }
+
+  test("collapsed embedding pairs == naive blocked self-join on the clone corpus") {
+    val e = spark.read.parquet(s"$cloneDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.ArrayOps.dotDouble(col("v"), col("v"))))
+      .persist()
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val naive = a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        try_divide(graft.functions.ArrayOps.dotDouble(col("av"), col("bv")),
+          col("an") * col("bn")).as("cosine"))
+      .where(col("cosine") >= 0.4)
+    val collapsed = SparkEntry.queries("q_dedup_embedding")(spark, cloneDir)
+    val naiveCount = naive.count()
+    assert(naiveCount > 0L, "clone fixture produced no naive cosine pairs")
+    assert(collapsed.count() === naiveCount)
+    assert(collapsed.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(collapsed).count() === 0L)
+  }
+
+  test("collapsed span pairs == naive rolling-hash pairs on the clone corpus") {
+    import graft.functions.TextHash._
+    val P = 1000000007L
+    val roll = (1 until 10).foldLeft("element_at(t, i + 0)")((acc, j) =>
+      s"($acc * 8191 + element_at(t, i + $j)) % $P")
+    val spanExpr =
+      s"CASE WHEN size(th) < 10 THEN array() ELSE " +
+        s"element_at(transform(array(th), t -> array_distinct(transform(" +
+        s"sequence(1, size(t) - 9), i -> $roll))), 1) END"
+    val ex = spark.read.parquet(s"$cloneDir/documents.parquet")
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+      .withColumn("th", expr(hashArraySpark("toks")))
+      .select(col("doc_id"), expr(spanExpr).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("hsh"))
+    val naive = ex.select(col("doc_id").as("a_id"), col("hsh"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_spans"))
+    val collapsed = SparkEntry.queries("q_dedup_span")(spark, cloneDir)
+    val naiveCount = naive.count()
+    assert(naiveCount > 0L, "clone fixture produced no naive span pairs")
+    assert(collapsed.count() === naiveCount)
+    assert(collapsed.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(collapsed).count() === 0L)
+  }
+}
