@@ -868,7 +868,7 @@ object Similarity {
          |dn AS (SELECT a.cid,
          |    CAST(sum(list_sum(list_transform(generate_series(1, 64),
          |      i -> (a.qv[i] * u.cnt - u.sv[i]) * (a.qv[i] * u.cnt - u.sv[i]))))
-         |      AS BIGINT) AS distortion_num
+         |      AS DECIMAL(38,0)) AS distortion_num
          |  FROM a2 a JOIN u2a u ON a.cid = u.cid GROUP BY a.cid)
          |SELECT u.cid, u.cnt AS n_members, u.sum_components,
          |  dn.distortion_num,
@@ -889,15 +889,22 @@ object Similarity {
       // Σᵢ (qvᵢ·cnt − svᵢ)² expanded to cnt²·⟨qv,qv⟩ − 2·cnt·⟨qv,sv⟩ +
       // ⟨sv,sv⟩ — three codegen'd integer dot kernels instead of the
       // 64-term interpreted HOF fold; exact BIGINT arithmetic, identical
-      // value (the expansion is algebra, not approximation, and both
-      // forms stay inside int64 at the magnitudes the cnt² growth allows)
+      // value (the expansion is algebra, not approximation). Per-ROW the
+      // int64 headroom holds to ~×300 the test corpus (dnum ≲ cnt²·⟨qv,qv⟩
+      // ≈ 5e16 at the ×100 replica rung), but the per-CELL SUM crossed
+      // 2^63 there (measured ANSI overflow: ~cnt³·10⁶ ≈ 7e21), so the
+      // accumulation — and the output column — are DECIMAL(38,0): exact
+      // integer arithmetic to 10^38, mirrored by the oracle's HUGEINT sum
+      // cast to the same type; the final distortion double divides the
+      // identically-rounded exact value in both engines.
       val dot = graft.functions.ArrayOps.dotLong _
       val dn = a2.join(broadcast(u2a.select("cid", "cnt", "sv")), Seq("cid"))
         .withColumn("dnum",
           col("cnt") * col("cnt") * dot(col("qv"), col("qv"))
             - lit(2L) * col("cnt") * dot(col("qv"), col("sv"))
             + dot(col("sv"), col("sv")))
-        .groupBy("cid").agg(sum("dnum").as("distortion_num"))
+        .groupBy("cid")
+        .agg(sum(col("dnum").cast("decimal(38,0)")).as("distortion_num"))
       u2a.join(dn, Seq("cid"))
         .select(col("cid"), col("cnt").as("n_members"), col("sum_components"),
           col("distortion_num"),
