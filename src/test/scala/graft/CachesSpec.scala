@@ -68,9 +68,10 @@ class CachesSpec extends SparkSpec {
       Caches.warm()
       val bytes = Caches.bytes()
       assert(bytes.nonEmpty)
-      // the postings frame is non-empty at any sf — its footprint must
-      // register (the pair frame may legitimately be 0 rows ≈ 0 bytes)
-      val postings = bytes.filter(_._1.startsWith("capped-postings"))
+      // the delegate postings frame is non-empty at any sf — its
+      // footprint must register (the pair frame may legitimately be
+      // 0 rows ≈ 0 bytes)
+      val postings = bytes.filter(_._1.startsWith("capped-dpostings"))
       assert(postings.nonEmpty && postings.forall(_._2 > 0L),
         s"postings frame reported no bytes: $bytes")
       assert(bytes.map(_._2).sum > 0L)

@@ -92,14 +92,18 @@ class SimilaritySpec extends SparkSpec {
     val u2 = update(a2)
     val want = u2.map { case (cid, cnt, s) =>
       val members = a2(cid)
+      // the distortion numerator exceeds int64 at the x100 replica scale,
+      // so the engine (and this referee) accumulate it exactly in
+      // arbitrary precision (DECIMAL(38,0) on the engine side)
       val dn = members.map { case (_, q) =>
-        q.indices.map(i => (q(i) * cnt - s(i)) * (q(i) * cnt - s(i))).sum
+        q.indices.map(i =>
+          BigInt(q(i) * cnt - s(i)) * BigInt(q(i) * cnt - s(i))).sum
       }.sum
       (cid, cnt, s.sum, dn, dn.toDouble / (cnt * cnt))
     }
     val got = SparkEntry.queries("q_ivf_train")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4))).toSeq
     assert(got === want)
     assert(got.map(_._2).sum === vecs.length) // every vector assigned once
   }
