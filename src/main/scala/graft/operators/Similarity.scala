@@ -871,7 +871,6 @@ object Similarity {
          |      AS DECIMAL(38,0)) AS distortion_num
          |  FROM a2 a JOIN u2a u ON a.cid = u.cid GROUP BY a.cid)
          |SELECT u.cid, u.cnt AS n_members, u.sum_components,
-         |  dn.distortion_num,
          |  CAST(dn.distortion_num AS DOUBLE) / (u.cnt * u.cnt) AS distortion
          |FROM u2a u JOIN dn ON u.cid = dn.cid
          |ORDER BY u.cid""".stripMargin) { (s, d) =>
@@ -905,9 +904,15 @@ object Similarity {
             + dot(col("sv"), col("sv")))
         .groupBy("cid")
         .agg(sum(col("dnum").cast("decimal(38,0)")).as("distortion_num"))
+      // distortion_num stays INTERNAL (exact DECIMAL(38,0) accumulation —
+      // still needed, int64 overflows at the ×100 rung) but is NOT emitted:
+      // the driver's hash is type-sensitive and Spark's Decimal(38,0) and
+      // DuckDB's HUGEINT-cast-to-DECIMAL render differently at the hash
+      // layer even when bit-identical in value (r11 regression). The
+      // `distortion` double divides the identically-rounded exact numerator
+      // in both engines and carries the full signal.
       u2a.join(dn, Seq("cid"))
         .select(col("cid"), col("cnt").as("n_members"), col("sum_components"),
-          col("distortion_num"),
           (col("distortion_num").cast("double") / (col("cnt") * col("cnt")))
             .as("distortion"))
         .orderBy("cid")

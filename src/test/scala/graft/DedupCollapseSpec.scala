@@ -143,6 +143,142 @@ class DedupCollapseSpec extends SparkSpec
     assert(naive.exceptAll(collapsed).count() === 0L)
   }
 
+  /** Shingle-bearing base frame on a corpus dir — the shared head of the
+    * capped/MinHash naive twins (re-derived from TextHash fragments).
+    */
+  private def naiveShingled(d: String): DataFrame = {
+    import graft.functions.TextHash._
+    spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+      .withColumn("th", expr(hashArraySpark("toks")))
+      .withColumn("hs", expr(shingleHashesSpark("th")))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"))
+  }
+
+  /** Naive df-capped Jaccard pairs: hot set over the FULL cloned corpus
+    * (per-doc df, not per-delegate — the Σm-weighted-df equivalence is
+    * exactly what this twin checks), postings filtered, sizes recomputed
+    * on the surviving shingle space, full self-join.
+    */
+  private def naiveCappedPairs(d: String, maxDf: Long): DataFrame = {
+    val base = naiveShingled(d)
+    val ex0 = base.select(col("doc_id"), explode(col("hs")).as("hsh"))
+    val hot = ex0.groupBy("hsh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("hsh")
+    val ex = ex0.join(hot, Seq("hsh"), "left_anti").persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val counts = ex.select(col("doc_id").as("a_id"), col("hsh"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hsh")), Seq("hsh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    counts
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  /** Naive banded-MinHash frame (doc_id, hs, mharr, band keys) over every
+    * document — no delegate collapse anywhere.
+    */
+  private def naiveMinhashSig(d: String): DataFrame = {
+    import graft.functions.TextHash.{A, B, P}
+    val mh = (0 until 16).map(j =>
+      expr(s"array_min(transform(hs, x -> (${A(j)}*x + ${B(j)}) % $P))")
+        .as(f"mh$j%02d"))
+    naiveShingled(d)
+      .select(col("doc_id") +: col("hs") +: mh: _*)
+      .withColumn("mharr", array((0 until 16).map(j => col(f"mh$j%02d")): _*))
+      .withColumn("bands", array((0 until 4).map { g =>
+        struct(lit(g).as("g"), concat_ws(",",
+          (4 * g until 4 * g + 4).map(j => col(f"mh$j%02d")): _*).as("k"))
+      }: _*))
+  }
+
+  /** Naive LSH candidates + exact-Jaccard verify with the full per-doc
+    * signature/shingle payload — (a_id, b_id, n_eq, est_jaccard, jaccard),
+    * unfiltered; callers project/filter per query shape.
+    */
+  private def naiveMinhashVerified(d: String): DataFrame = {
+    val sig = naiveMinhashSig(d).persist()
+    val ex = sig.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.g").as("g"), col("b.k").as("k"))
+    val cand = ex.select(col("doc_id").as("a_id"), col("g"), col("k"))
+      .join(ex.select(col("doc_id").as("b_id"), col("g"), col("k")), Seq("g", "k"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val side = sig.select(col("doc_id"), col("hs"), col("mharr"))
+    val i = size(array_intersect(col("a_hs"), col("b_hs")))
+    val u = size(col("a_hs")) + size(col("b_hs")) - i
+    cand
+      .join(side.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+        col("mharr").as("a_mh")), Seq("a_id"))
+      .join(side.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+        col("mharr").as("b_mh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> " +
+          "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)")
+          .as("n_eq"),
+        i.cast("double").as("di"), u.cast("double").as("du"), u.as("u"))
+      .where(col("u") > 0)
+      .select(col("a_id"), col("b_id"), col("n_eq"),
+        (col("n_eq") / lit(16.0)).as("est_jaccard"),
+        (col("di") / col("du")).as("jaccard"))
+  }
+
+  private def assertSameRows(collapsed: DataFrame, naive: DataFrame,
+      what: String): Unit = {
+    val naiveCount = naive.count()
+    assert(naiveCount > 0L, s"clone fixture produced no naive $what")
+    assert(collapsed.count() === naiveCount, s"$what row count")
+    assert(collapsed.exceptAll(naive).count() === 0L, s"$what: extra rows")
+    assert(naive.exceptAll(collapsed).count() === 0L, s"$what: missing rows")
+  }
+
+  test("collapsed ABS-capped pairs == naive full-corpus-df pairs on clones") {
+    // the ×5 clones push every shingle's df to ≥5, so the abs cap (df>5)
+    // turns hot EVERY shingle shared by ≥2 base docs — the weighted-df
+    // (Σm over delegate groups) path and the fully-boilerplate-doc
+    // eligibility edge are both exercised far harder than at base scale
+    assertSameRows(
+      SparkEntry.queries("q_dedup_ngram_capped")(spark, cloneDir),
+      naiveCappedPairs(cloneDir, operators.Dedup.NgramMaxDf.toLong),
+      "abs-capped pairs")
+  }
+
+  test("collapsed FRAC-capped pairs == naive pairs with cap over clone N") {
+    // the fractional cap is computed over the CLONED corpus size (N×5 →
+    // cap 25 here), so clone-inflated dfs mostly stay under it — the rung
+    // where the naive form inherits the full m² blowup at scale
+    val n = naiveShingled(cloneDir).count()
+    val cap = math.ceil(operators.Dedup.NgramMaxDfFrac * n).toLong
+    assert(cap > operators.Dedup.NgramMaxDf.toLong,
+      "fixture must exercise a cap looser than the absolute one")
+    assertSameRows(
+      SparkEntry.queries("q_dedup_ngram_fcapped")(spark, cloneDir),
+      naiveCappedPairs(cloneDir, cap),
+      "frac-capped pairs")
+  }
+
+  test("collapsed MinHash LSH pairs == naive banded pairs on the clone corpus") {
+    assertSameRows(
+      SparkEntry.queries("q_dedup_minhash_pairs")(spark, cloneDir),
+      naiveMinhashVerified(cloneDir)
+        .where(col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard"),
+      "minhash pairs")
+  }
+
+  test("collapsed calibration pairs == naive estimate+exact frame on clones") {
+    assertSameRows(
+      operators.Dedup.calibrationPairs(spark, cloneDir),
+      naiveMinhashVerified(cloneDir),
+      "calibration pairs")
+  }
+
   test("collapsed span pairs == naive rolling-hash pairs on the clone corpus") {
     import graft.functions.TextHash._
     val P = 1000000007L

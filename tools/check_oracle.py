@@ -4,6 +4,15 @@ against DuckDB executing SparkEntry.oracleSql over the same parquet tables.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 (Developer tooling only — the engine itself is the Scala library.)
+
+Strict mode (GRAFT_ORACLE_STRICT=1, the round_end.sh default): additionally
+fail any query whose OUTPUT schema contains a DECIMAL or HUGEINT column on
+either side. Round 11 proved the driver's hash is representation-sensitive
+for decimals: q_ivf_train emitted DECIMAL(38,0) with bit-identical values in
+both engines and still hashed red (CORRECTNESS_r11). Value-level equality of
+decimals therefore cannot prove driver-hash equality locally — the only safe
+local policy is "no decimal-typed output columns at all" (keep exact decimal
+arithmetic INTERNAL; emit BIGINT when it fits, DOUBLE or VARCHAR otherwise).
 """
 import json, math, os, sys, threading
 import duckdb
@@ -49,6 +58,7 @@ def main(sf_dir, out_dir):
     # ORACLE-TIMEOUT instead of hanging the gate. Unset (the driver's
     # path) → no timer, behavior unchanged.
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+    strict = os.environ.get("GRAFT_ORACLE_STRICT", "") not in ("", "0")
     n_timeout = 0
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
@@ -124,6 +134,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: column types differ: " + "; ".join(type_diffs))
             n_bad += 1
             continue
+        # Strict: decimal-typed OUTPUT columns are driver-hash hazards even
+        # when both sides agree on type and value (r11 q_ivf_train: both
+        # DECIMAL(38,0), bit-identical rows, driver hash red). Forbid them.
+        if strict:
+            hazards = [
+                f"{c}: spark {got_types[c]} / oracle {want_types[c]}"
+                for c in want_cols
+                if any(t.startswith("DECIMAL") or t == "HUGEINT"
+                       for t in (got_types[c], want_types[c]))]
+            if hazards:
+                print(f"FAIL {name}: strict: decimal/hugeint output column "
+                      "is not driver-hash-stable: " + "; ".join(hazards))
+                n_bad += 1
+                continue
         # driver sorts columns by name before hashing; emulate by reordering
         w_idx = [want_cols.index(c) for c in sorted(want_cols)]
         g_idx = [got_cols.index(c) for c in sorted(got_cols)]

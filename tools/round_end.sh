@@ -18,7 +18,9 @@ echo "== 2/4 Verify + type-strict oracle at sf0.01 (the driver's gate)"
 OUT=${OUT:-/tmp/verify_round_end}
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
-python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT"
+# STRICT: also fail decimal/hugeint-typed output columns — value-level
+# equality of decimals cannot prove driver-hash equality (r11 q_ivf_train).
+GRAFT_ORACLE_STRICT=1 python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT"
 
 echo "== 3/4 contract bench at sf0.1 (writes BENCH_FULL.json)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
