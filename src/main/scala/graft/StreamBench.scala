@@ -90,6 +90,19 @@ object StreamBench {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
+      // SPARK_GRAFT_STREAM_PROFILE=1: per-batch phase breakdown (where the
+      // ~850 ms fixed cost lives — planning vs state commit vs addBatch)
+      if (sys.env.get("SPARK_GRAFT_STREAM_PROFILE").exists(_ == "1"))
+        q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+          val d = p.durationMs
+          System.err.println(s"[streamprofile] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} trigger=${d.get("triggerExecution")} " +
+            s"addBatch=${d.get("addBatch")} getBatch=${d.get("getBatch")} " +
+            s"latestOffset=${d.get("latestOffset")} " +
+            s"plan=${d.get("queryPlanning")} walCommit=${d.get("walCommit")} " +
+            s"commitOffsets=${d.get("commitOffsets")} " +
+            s"stateCommit=${p.stateOperators.headOption.map(_.commitTimeMs).getOrElse(-1L)}")
+        }
       val prog = q.recentProgress.filter(_.numInputRows > 0)
       val durations = prog.map(_.durationMs.get("triggerExecution").toLong)
       val stateRows = q.recentProgress.lastOption
@@ -115,6 +128,26 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Per-stream state-partition sizing (pinned into each query's
+    // checkpoint at its first batch): a stateful operator pays a state
+    // store open+snapshot+commit PER PARTITION PER MICRO-BATCH even when
+    // the partition holds no keys — profiled here (r12): semDedupStream
+    // over 4 occupied cells spent 11-17 s aggregate stateCommit per batch
+    // across the session's 32 state partitions (~12 ms of useful work);
+    // sizing its state to the cell count cut avg batch 1091 -> 652 ms.
+    // The event twins keep the session width: 1500 user keys want the
+    // parallelism (measured SLOWER at 4). Production rule: state
+    // partitions track the operator's KEY population, not the batch
+    // engine's shuffle width. Envs override for A/B runs.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val eventShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_EVENTS",
+      sessionShuffle)
+    def withShuffle[T](n: String)(body: => T): T = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try body finally
+        spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+    }
+
     val root = java.nio.file.Files.createTempDirectory("graft-streambench")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, StreamStats]
     try {
@@ -123,22 +156,31 @@ object StreamBench {
       val evSchema = stage(
         Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "event_type"),
         Seq(col("ts"), col("event_id")), evDir, slices)
-      results += "funnel" -> runStream(spark, "funnel", evDir, evSchema,
-        df => Streams.funnelStream(df.as[Streams.FunnelEvent]).toDF)
-      results += "attribution" -> runStream(spark, "attribution", evDir, evSchema,
-        df => Streams.attributionStream(df.as[Streams.AttrEvent]).toDF)
-      results += "transition" -> runStream(spark, "transition", evDir, evSchema,
-        df => Streams.transitionStream(df.as[Streams.TransEvent]).toDF)
+      withShuffle(eventShuffle) {
+        results += "funnel" -> runStream(spark, "funnel", evDir, evSchema,
+          df => Streams.funnelStream(df.as[Streams.FunnelEvent]).toDF)
+        results += "attribution" -> runStream(spark, "attribution", evDir, evSchema,
+          df => Streams.attributionStream(df.as[Streams.AttrEvent]).toDF)
+        results += "transition" -> runStream(spark, "transition", evDir, evSchema,
+          df => Streams.transitionStream(df.as[Streams.TransEvent]).toDF)
+      }
 
-      // embeddings replay: semantic dedup with the base-trained model
+      // embeddings replay: semantic dedup with the base-trained model.
+      // State partitions = the trained cell count (the operator's entire
+      // key domain — every arrival lands in one of K cells by
+      // construction), overridable for A/B.
       val (cents, _) = graft.operators.Similarity.ivfPqModel(spark, sfDir)
+      val semShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_SEM",
+        math.max(cents.length, 1).toString)
       val embDir = root.resolve("emb"); java.nio.file.Files.createDirectories(embDir)
       val embSchema = stage(
         Tables.embeddings(spark, sfDir).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("embedding")),
         Seq(col("vec_id")), embDir, slices)
-      results += "semdedup" -> runStream(spark, "semdedup", embDir, embSchema,
-        df => Streams.semDedupStream(df, cents).toDF)
+      withShuffle(semShuffle) {
+        results += "semdedup" -> runStream(spark, "semdedup", embDir, embSchema,
+          df => Streams.semDedupStream(df, cents).toDF)
+      }
 
       sys.env.get("SPARK_GRAFT_STREAM_EMB_SCALED").foreach { scaled =>
         val sDir = root.resolve("emb_scaled")
@@ -147,8 +189,10 @@ object StreamBench {
           Tables.embeddings(spark, scaled).select(col("vec_id"),
             expr("transform(embedding, x -> cast(x AS double))").as("embedding")),
           Seq(col("vec_id")), sDir, slices)
-        results += "semdedup_scaled" -> runStream(spark, "semdedup_scaled",
-          sDir, sSchema, df => Streams.semDedupStream(df, cents).toDF)
+        withShuffle(semShuffle) {
+          results += "semdedup_scaled" -> runStream(spark, "semdedup_scaled",
+            sDir, sSchema, df => Streams.semDedupStream(df, cents).toDF)
+        }
       }
     } finally rmrf(root)
 

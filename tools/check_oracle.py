@@ -45,6 +45,13 @@ def rows_match(a, b, tol=1e-6):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # scale-rung hygiene: DuckDB defaults to 80% of RAM and all cores —
+    # cap both when sharing the host with Spark/other gates (unset = default)
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    con.execute("SET temp_directory='/tmp/duck_gate_tmp'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # Spark-written scale replicas (graft.ScaleUp) are DIRECTORIES of

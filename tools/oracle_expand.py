@@ -1,0 +1,269 @@
+#!/usr/bin/env python3
+"""Expansion-law oracle for the clone-replica scale rungs: computes EXACT
+DuckDB-oracle answers for the 6 recursive/graph queries whose pairwise CTEs
+are single-node infeasible at high clone multiplicity, by
+
+  1. running the quadratic part (ngram-Jaccard pairs -> recursive CC) on
+     the BASE corpus only (feasible),
+  2. expanding it with the clone algebra ScaleUp guarantees (replica i =
+     byte-identical text under doc_id + i*KeyOffset):
+       - identical text => identical token-hash array => identical shingle
+         set => a base pair (a,b), jaccard>=0.5, lifts to ALL f^2 clone
+         combinations at the SAME jaccard; every shingle-bearing doc's f
+         clones pair mutually at jaccard exactly 1.0; NO other pairs exist
+         (a cross pair of non-paired base docs would imply the base pair).
+       - hence components expand 1:1 (families are cliques, cross edges
+         mirror base edges, distinct base components cannot merge), and
+         min-id labels are preserved (replica 0 keeps the base ids):
+         cc_scaled = { (doc + i*K, lab) : (doc,lab) in cc_base, i<f }
+                   U { (doc + i*K, doc) : doc shingle-bearing, not in
+                       cc_base, i<f }   (singletons become f-cliques)
+  3. running each query's verbatim LINEAR tail over the expanded cc frame
+     against the scaled directory's real tables.
+
+q_pagerank expands the same way at the ARITHMETIC level: every clone of u
+has identical rank by symmetry, deg'(u_i) = f*deg(u) + (f-1), n' = f*|b|,
+and the oracle's exact scaled-integer recurrence restricted to base nodes:
+    r0 = S // n'
+    r_{k+1}(v) = (15*S) // (100*n')
+               + (85 * ((f-1)*(r_k(v) // deg'(v))
+                        + f * sum_{u in N(v)} r_k(u) // deg'(u))) // 100
+computed in exact Python ints over the base edge list.
+
+--selfcheck f: builds a documents-only x f clone dir from the base via the
+same key-offset rule, runs the ORIGINAL quadratic oracles there, and
+compares them against the expansion prediction — validating the law with
+DuckDB alone (no Spark output involved) before it is applied at a rung
+where the original is infeasible.
+
+Usage:
+  python3 tools/oracle_expand.py --selfcheck 5 <baseDir> <verifyOutDir>
+  python3 tools/oracle_expand.py <baseDir> <scaledDir> <factor> <verifyOutDir>
+
+<verifyOutDir> needs oracle_sql.json; per-query Spark dumps (<out>/<q>/)
+are compared when present, else the oracle result is saved for later.
+Developer tooling only — the engine itself is the Scala library.
+"""
+import json, os, shutil, sys, tempfile, time
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import rows_match
+
+KEY_OFFSET = 10000000  # graft.ScaleUp.KeyOffset
+S = 1000000000000      # pagerank fixed-point scale (oracle literal)
+
+CC_MARKER = ("cc AS (SELECT node AS doc_id, min(lab) AS cluster_id\n"
+             "  FROM walk GROUP BY 1)")
+C_SEGMENT = ("c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i\n"
+             "  FROM e a JOIN e b ON a.hsh = b.hsh AND a.doc_id < b.doc_id\n"
+             "  GROUP BY 1, 2),\n")
+PAIRS_TO_CC = """pairs AS (SELECT c.a_id, c.b_id,
+    c.i::DOUBLE / (x.n + y.n - c.i) AS jaccard
+  FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
+  WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5),
+und AS (SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+walk AS (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM und) du
+  UNION
+  SELECT e.v AS node, w.lab FROM walk w JOIN und e ON e.u = w.node),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+  FROM walk GROUP BY 1)"""
+
+CC_QUERIES = ["q_dedup_cluster", "q_dedup_survivor", "q_split_assign",
+              "q_source_dup_rate", "q_curation_report"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '8')}")
+    con.execute("SET temp_directory='/tmp/duck_expand_tmp'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if not (os.path.isdir(p) or os.path.exists(p)):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def rewrite_tail(sql):
+    """Replace the quadratic pair/CC CTEs with a passthrough of exp_cc,
+    keeping the linear CTEs (t/h0/h/b/e/n) the tails still reference."""
+    assert C_SEGMENT in sql, "c-segment not found (oracle SQL drifted?)"
+    assert PAIRS_TO_CC in sql, "pairs..cc segment not found"
+    return (sql.replace(C_SEGMENT, "")
+               .replace(PAIRS_TO_CC, "cc AS (SELECT * FROM exp_cc)"))
+
+
+def base_cc_and_b(base_dir, oracle):
+    """(cc rows, shingle-bearing doc ids) on the base corpus — the only
+    quadratic work, done where it is feasible."""
+    sql = oracle["q_dedup_cluster"]
+    i = sql.find(CC_MARKER)
+    assert i >= 0
+    prefix = sql[:i + len(CC_MARKER)]
+    con = connect(base_dir)
+    t0 = time.time()
+    cc = con.sql(prefix + "\nSELECT doc_id, cluster_id FROM cc").fetchall()
+    bs = [r[0] for r in con.sql(
+        prefix + "\nSELECT doc_id FROM b").fetchall()]
+    print(f"[expand] base cc: {len(cc)} rows, |b|={len(bs)} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    con.close()
+    return cc, bs
+
+
+def base_edges(base_dir, oracle):
+    """Base und edge list (directed both ways) for the pagerank law."""
+    sql = oracle["q_pagerank"]
+    i = sql.find("und AS")
+    assert i >= 0
+    prefix = sql[:i].rstrip().rstrip(",")
+    con = connect(base_dir)
+    t0 = time.time()
+    pairs = con.sql(
+        f"{prefix}, fin AS (SELECT 1) SELECT a_id, b_id FROM pairs").fetchall()
+    print(f"[expand] base pairs for pagerank: {len(pairs)} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    con.close()
+    return pairs
+
+
+def pagerank_expanded(pairs, b_ids, f):
+    """Exact integer replica of the oracle's 6 unrolled rounds on the
+    f-expanded graph, computed per BASE node (clones are rank-identical by
+    symmetry). Returns {base_doc: (deg_expanded, pr_scaled)}."""
+    from collections import defaultdict
+    nbrs = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    nodes = sorted(b_ids)  # at f>1 every shingle-bearing doc is an und node
+    n2 = f * len(nodes)
+    degx = {u: f * len(nbrs[u]) + (f - 1) for u in nodes}
+    r = {u: S // n2 for u in nodes}
+    for _ in range(6):
+        contrib = {u: r[u] // degx[u] for u in nodes}
+        r = {v: (15 * S) // (100 * n2)
+                + (85 * ((f - 1) * contrib[v]
+                         + f * sum(contrib[u] for u in nbrs[v]))) // 100
+             for v in nodes}
+    return {u: (degx[u], r[u]) for u in nodes}
+
+
+def compare_with_spark(con, name, out_dir, dst):
+    spark_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_dir):
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"SAVED {name} ({n} rows) — no spark dump present", flush=True)
+        return True
+    want_rel = con.sql(f"SELECT * FROM '{dst}'")
+    want_cols = list(want_rel.columns)
+    want = want_rel.fetchall()
+    got_rel = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+    got_cols = list(got_rel.columns)
+    got = got_rel.fetchall()
+    if sorted(want_cols) != sorted(got_cols):
+        print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}",
+              flush=True)
+        return False
+    w = [[r[i] for i in [want_cols.index(c) for c in sorted(want_cols)]]
+         for r in want]
+    g = [[r[i] for i in [got_cols.index(c) for c in sorted(got_cols)]]
+         for r in got]
+    ok, why = rows_match(g, w)
+    print(f"{'ok  ' if ok else 'FAIL'} {name} ({len(got)} rows)"
+          + ("" if ok else f": {why}"), flush=True)
+    return ok
+
+
+def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
+    """Predict all 6 oracle answers on the f-expanded corpus; compare with
+    Spark dumps under out_dir when present; save parquet under save_dir
+    (default out_dir)."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    save_dir = save_dir or out_dir
+    cc, bs = base_cc_and_b(base_dir, oracle)
+    all_ok = True
+
+    con = connect(scaled_dir)
+    con.execute("CREATE TABLE cc_base (doc_id BIGINT, cluster_id BIGINT)")
+    con.executemany("INSERT INTO cc_base VALUES (?, ?)", cc)
+    con.execute("CREATE TABLE b_base (doc_id BIGINT)")
+    con.executemany("INSERT INTO b_base VALUES (?)", [(x,) for x in bs])
+    con.execute(f"""CREATE TABLE exp_cc AS
+      WITH fam AS (
+        SELECT b.doc_id, COALESCE(c.cluster_id, b.doc_id) AS cluster_id
+        FROM b_base b LEFT JOIN cc_base c USING (doc_id))
+      SELECT fam.doc_id + i.range * {KEY_OFFSET} AS doc_id, fam.cluster_id
+      FROM fam CROSS JOIN range({f}) i""")
+
+    for name in CC_QUERIES:
+        t0 = time.time()
+        sql = rewrite_tail(oracle[name])
+        dst = f"{save_dir}/oracle_{name}.parquet"
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"[expand] {name} predicted in {time.time()-t0:.0f}s", flush=True)
+        all_ok &= compare_with_spark(con, name, out_dir, dst)
+
+    # pagerank: exact integer recurrence on the base graph, fanned out
+    pr = pagerank_expanded(base_edges(base_dir, oracle), bs, f)
+    con.execute(
+        "CREATE TABLE pr_base (doc_id BIGINT, deg BIGINT, pr_scaled BIGINT)")
+    con.executemany("INSERT INTO pr_base VALUES (?, ?, ?)",
+                    [(u, d, r) for u, (d, r) in pr.items()])
+    dst = f"{save_dir}/oracle_q_pagerank.parquet"
+    con.execute(f"""COPY (
+      SELECT p.doc_id + i.range * {KEY_OFFSET} AS doc_id, p.deg, p.pr_scaled
+      FROM pr_base p CROSS JOIN range({f}) i
+      ORDER BY pr_scaled DESC, doc_id) TO '{dst}' (FORMAT PARQUET)""")
+    all_ok &= compare_with_spark(con, "q_pagerank", out_dir, dst)
+    con.close()
+    return all_ok
+
+
+def selfcheck(base_dir, f, out_dir):
+    """Validate the expansion law with DuckDB alone: clone the documents
+    table x f under the ScaleUp key rule, run the ORIGINAL quadratic
+    oracles there, compare with the expansion prediction."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    tmp = tempfile.mkdtemp(prefix="graft-expcheck-")
+    try:
+        con0 = connect(base_dir)
+        con0.execute(f"""COPY (
+          SELECT * REPLACE (doc_id + i.range * {KEY_OFFSET} AS doc_id)
+          FROM documents CROSS JOIN range({f}) i)
+          TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+        con0.close()
+        # predictions land in tmp; originals computed fresh per query
+        okall = run_expanded(base_dir, tmp, f, out_dir, save_dir=tmp)
+        assert okall is not None
+        con = connect(tmp)
+        ok = True
+        for name in CC_QUERIES + ["q_pagerank"]:
+            t0 = time.time()
+            want = con.sql(oracle[name]).fetchall()  # ORIGINAL quadratic SQL
+            got = con.sql(
+                f"SELECT * FROM '{tmp}/oracle_{name}.parquet'").fetchall()
+            same, why = rows_match(got, want)
+            print(f"{'ok  ' if same else 'FAIL'} selfcheck {name} "
+                  f"({len(want)} rows, original {time.time()-t0:.0f}s)"
+                  + ("" if same else f": {why}"), flush=True)
+            ok &= same
+        con.close()
+        return ok
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if args and args[0] == "--selfcheck":
+        f, base_dir, out_dir = int(args[1]), args[2], args[3]
+        sys.exit(0 if selfcheck(base_dir, f, out_dir) else 1)
+    base_dir, scaled_dir, f, out_dir = args[0], args[1], int(args[2]), args[3]
+    sys.exit(0 if run_expanded(base_dir, scaled_dir, f, out_dir) else 1)
