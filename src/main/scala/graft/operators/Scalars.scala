@@ -38,8 +38,17 @@ object Scalars {
         |       WHEN l_discount < 0.05 THEN 'Good'
         |       WHEN l_discount < 0.08 THEN 'Excellent'
         |       ELSE 'Elite' END AS rating
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (s, d) =>
+      // (l_quantity, l_discount) tiebreakers make the sort TOTAL: the
+      // synthetic lineitem duplicates (l_orderkey, l_linenumber) pairs, so
+      // the key-only sort left tie order engine-dependent — latent until
+      // the ×100 rung (same class as q_heat_cost, caught by the sf10
+      // ORDER-BY-totality sweep). Rows tying on all four project identical
+      // labels, so residual order is immaterial; sort BEFORE the projection
+      // (the tiebreakers are not output columns).
       Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .select(col("l_orderkey"), col("l_linenumber"),
           when(col("l_quantity") < 10, "平坦")
             .when(col("l_quantity") < 25, "起伏")
@@ -49,7 +58,6 @@ object Scalars {
             .when(col("l_discount") < 0.05, "Good")
             .when(col("l_discount") < 0.08, "Excellent")
             .otherwise("Elite").as("rating"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     Q("q_json_extract",

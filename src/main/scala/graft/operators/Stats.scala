@@ -584,13 +584,23 @@ object Stats {
         |  b.b_heat * f.x2 AS heat_cost,
         |  f.y - b.b_heat * f.x2 AS neutral_hr
         |FROM f, b
-        |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY f.l_orderkey, f.l_linenumber, f.y, f.x2""".stripMargin) { (s, d) =>
       val f = heatProxyFrame(s, d, keys = true)
       val betas = heatModelBetas(s, d).select("b_heat")
+      // ORDER BY is TOTAL on (okey, ln, y, x2): the synthetic lineitem has
+      // duplicate (l_orderkey, l_linenumber) pairs (45832 distinct per
+      // 60000 rows at sf0.01), so the key-only sort left tie order
+      // engine-dependent — latent until the ×100 rung, where Spark's
+      // distributed sort and DuckDB's stable single-node sort interleave
+      // ties differently (caught by the sf10 gate). Rows tying on all four
+      // are bit-identical in every projected column (all are functions of
+      // y and x2), so the residual order is immaterial. Sort BEFORE the
+      // projection (x2 is not an output column); the project is narrow and
+      // preserves the order.
       heatCost(f, betas)
+        .orderBy("l_orderkey", "l_linenumber", "y", "x2")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("y").as("raw_hr"), col("heat_cost"), col("neutral_hr"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Distributed-Gram OLS with p-values and VIF. The Spark side solves the

@@ -43,7 +43,7 @@ def rows_match(a, b, tol=1e-6):
                     return False, f"row {i}: {va!r} vs {vb!r}"
     return True, ""
 
-def main(sf_dir, out_dir):
+def _connect(sf_dir):
     con = duckdb.connect()
     # scale-rung hygiene: DuckDB defaults to 80% of RAM and all cores —
     # cap both when sharing the host with Spark/other gates (unset = default)
@@ -59,6 +59,11 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = _connect(sf_dir)
     # Opt-in per-oracle-query wall clock (seconds): the sf1 scale-stress
     # replicas make a handful of DuckDB oracle CTEs quadratic in clone
     # multiplicity (inverted-index self-joins); a timeout records them as
@@ -127,6 +132,16 @@ def main(sf_dir, out_dir):
             else:
                 print(f"FAIL {name}: oracle SQL error: {e}")
                 n_bad += 1
+            # an OOM'd/IO-failed query can poison the connection's memory
+            # state (observed: every later query failing tiny allocations)
+            # — reconnect so one heavy oracle cannot cascade the gate
+            if "Out of Memory" in str(e) or "IO Error" in str(e):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = _connect(sf_dir)
+                print(f"[gate] reconnected after {name} failure", flush=True)
             continue
         finally:
             done.set()

@@ -71,8 +71,19 @@ walk AS (
 cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
   FROM walk GROUP BY 1)"""
 
+PAIRS_SEGMENT = """pairs AS (SELECT c.a_id, c.b_id,
+    c.i::DOUBLE / (x.n + y.n - c.i) AS jaccard
+  FROM c JOIN n x ON c.a_id = x.doc_id JOIN n y ON c.b_id = y.doc_id
+  WHERE c.i::DOUBLE / (x.n + y.n - c.i) >= 0.5)"""
+
 CC_QUERIES = ["q_dedup_cluster", "q_dedup_survivor", "q_split_assign",
               "q_source_dup_rate", "q_curation_report"]
+# Tails over the raw pair list (no CC): the pair set itself expands
+# exactly — cross pairs inherit the base jaccard (identical shingle
+# sets => identical two-integer division), within-family pairs sit at
+# IEEE-exact 1.0 (i/i), and no other pair exists at >= 0.5.
+PAIR_QUERIES = ["q_dedup_ngram", "q_dup_degree", "q_jaccard_hist",
+                "q_source_overlap"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -99,6 +110,14 @@ def rewrite_tail(sql):
                .replace(PAIRS_TO_CC, "cc AS (SELECT * FROM exp_cc)"))
 
 
+def rewrite_pair_tail(sql):
+    """Same, for the queries whose tail reads the raw pair list."""
+    assert C_SEGMENT in sql, "c-segment not found (oracle SQL drifted?)"
+    assert PAIRS_SEGMENT in sql, "pairs segment not found"
+    return (sql.replace(C_SEGMENT, "")
+               .replace(PAIRS_SEGMENT, "pairs AS (SELECT * FROM exp_pairs)"))
+
+
 def base_cc_and_b(base_dir, oracle):
     """(cc rows, shingle-bearing doc ids) on the base corpus — the only
     quadratic work, done where it is feasible."""
@@ -115,6 +134,46 @@ def base_cc_and_b(base_dir, oracle):
           f"({time.time()-t0:.0f}s)", flush=True)
     con.close()
     return cc, bs
+
+
+def base_pairs_rows(base_dir, oracle):
+    """Base (a_id, b_id, jaccard) pair list — the quadratic half of the
+    pair-shaped queries, computed where it is feasible."""
+    sql = oracle["q_dedup_ngram"]
+    i = sql.find(PAIRS_SEGMENT)
+    assert i >= 0
+    con = connect(base_dir)
+    t0 = time.time()
+    rows = con.sql(sql[:i + len(PAIRS_SEGMENT)]
+                   + "\nSELECT a_id, b_id, jaccard FROM pairs").fetchall()
+    print(f"[expand] base pairs: {len(rows)} rows ({time.time()-t0:.0f}s)",
+          flush=True)
+    con.close()
+    return rows
+
+
+def base_fcapped(base_dir, oracle):
+    """Base df-FRACTION-capped pair list + the eligibility set (docs with
+    >=1 surviving posting). Valid for expansion only when the scaled cap
+    equals f x the base cap so the hot shingle sets coincide (asserted by
+    the caller): then surviving postings are the base survivors cloned and
+    the pair set expands exactly like the uncapped one — within-family
+    pairs exist only for docs that keep >=1 posting (the fully-boilerplate
+    eligibility edge DedupCollapseSpec pins at x5)."""
+    sql = oracle["q_dedup_ngram_fcapped"]
+    i = sql.rfind("SELECT c.a_id")
+    assert i > 0, "fcapped oracle shape drifted"
+    prefix = sql[:i].rstrip().rstrip(",")  # ends after c AS (...)
+    con = connect(base_dir)
+    t0 = time.time()
+    pairs = con.sql(sql).fetchall()  # the full base oracle IS the pair list
+    eligible = [r[0] for r in con.sql(
+        prefix + "\nSELECT DISTINCT doc_id FROM e").fetchall()]
+    nb = con.sql(prefix + "\nSELECT count(*) FROM b").fetchone()[0]
+    print(f"[expand] base fcapped pairs: {len(pairs)}, eligible "
+          f"{len(eligible)}, |b|={nb} ({time.time()-t0:.0f}s)", flush=True)
+    con.close()
+    return pairs, eligible, nb
 
 
 def base_edges(base_dir, oracle):
@@ -202,13 +261,74 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
       SELECT fam.doc_id + i.range * {KEY_OFFSET} AS doc_id, fam.cluster_id
       FROM fam CROSS JOIN range({f}) i""")
 
-    for name in CC_QUERIES:
+    pb = base_pairs_rows(base_dir, oracle)
+    con.execute(
+        "CREATE TABLE pairs_base (a_id BIGINT, b_id BIGINT, jaccard DOUBLE)")
+    con.executemany("INSERT INTO pairs_base VALUES (?, ?, ?)", pb)
+    con.execute(f"""CREATE TABLE exp_pairs AS
+      WITH cross_p AS (
+        SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                     p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+               greatest(p.a_id + i.range * {KEY_OFFSET},
+                        p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+               p.jaccard
+        FROM pairs_base p CROSS JOIN range({f}) i CROSS JOIN range({f}) j),
+      fam AS (
+        SELECT b.doc_id + i.range * {KEY_OFFSET} AS a_id,
+               b.doc_id + j.range * {KEY_OFFSET} AS b_id,
+               1.0::DOUBLE AS jaccard
+        FROM b_base b CROSS JOIN range({f}) i CROSS JOIN range({f}) j
+        WHERE i.range < j.range)
+      SELECT * FROM cross_p UNION ALL SELECT * FROM fam""")
+
+    for name in CC_QUERIES + PAIR_QUERIES:
         t0 = time.time()
-        sql = rewrite_tail(oracle[name])
+        sql = (rewrite_tail(oracle[name]) if name in CC_QUERIES
+               else rewrite_pair_tail(oracle[name]))
         dst = f"{save_dir}/oracle_{name}.parquet"
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         print(f"[expand] {name} predicted in {time.time()-t0:.0f}s", flush=True)
         all_ok &= compare_with_spark(con, name, out_dir, dst)
+
+    # fcapped: valid only when hot sets coincide across the scale-up —
+    # scaled df = f x base df (clones), so hot_scaled <=> df > cap_s/f;
+    # require cap_s == f * cap_b exactly, then expand like the uncapped
+    # pair set but with within-family pairs restricted to ELIGIBLE docs.
+    import math, re
+    from fractions import Fraction
+    m = re.search(r"ceil\(([0-9.]+) \* count\(\*\)\)",
+                  oracle["q_dedup_ngram_fcapped"])
+    assert m, "fcapped frac literal not found"
+    frac = Fraction(m.group(1))
+    fp, elig, nb = base_fcapped(base_dir, oracle)
+    cap_b = math.ceil(frac * nb)
+    cap_s = math.ceil(frac * f * nb)
+    assert cap_s == f * cap_b, (
+        f"fractional cap does not scale exactly ({cap_s} != {f}*{cap_b}) — "
+        "the fcapped expansion law does not apply at this (frac, N, f)")
+    con.execute(
+        "CREATE TABLE fpairs_base (a_id BIGINT, b_id BIGINT, jaccard DOUBLE)")
+    con.executemany("INSERT INTO fpairs_base VALUES (?, ?, ?)", fp)
+    con.execute("CREATE TABLE elig_base (doc_id BIGINT)")
+    con.executemany("INSERT INTO elig_base VALUES (?)", [(x,) for x in elig])
+    dst = f"{save_dir}/oracle_q_dedup_ngram_fcapped.parquet"
+    con.execute(f"""COPY (
+      WITH cross_p AS (
+        SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                     p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+               greatest(p.a_id + i.range * {KEY_OFFSET},
+                        p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+               p.jaccard
+        FROM fpairs_base p CROSS JOIN range({f}) i CROSS JOIN range({f}) j),
+      fam AS (
+        SELECT e.doc_id + i.range * {KEY_OFFSET} AS a_id,
+               e.doc_id + j.range * {KEY_OFFSET} AS b_id,
+               1.0::DOUBLE AS jaccard
+        FROM elig_base e CROSS JOIN range({f}) i CROSS JOIN range({f}) j
+        WHERE i.range < j.range)
+      SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM fam)
+      ORDER BY a_id, b_id) TO '{dst}' (FORMAT PARQUET)""")
+    all_ok &= compare_with_spark(con, "q_dedup_ngram_fcapped", out_dir, dst)
 
     # pagerank: exact integer recurrence on the base graph, fanned out
     pr = pagerank_expanded(base_edges(base_dir, oracle), bs, f)
@@ -244,7 +364,8 @@ def selfcheck(base_dir, f, out_dir):
         assert okall is not None
         con = connect(tmp)
         ok = True
-        for name in CC_QUERIES + ["q_pagerank"]:
+        for name in (CC_QUERIES + PAIR_QUERIES
+                     + ["q_dedup_ngram_fcapped", "q_pagerank"]):
             t0 = time.time()
             want = con.sql(oracle[name]).fetchall()  # ORIGINAL quadratic SQL
             got = con.sql(
