@@ -117,10 +117,13 @@ def main(sf_dir, out_dir):
             timer.start()
         interrupt_exc = getattr(duckdb, "InterruptException", ())
         try:
-            want_rel = con.sql(sql)
-            want_cols = list(want_rel.columns)
-            want_types = {c: str(t) for c, t in zip(want_cols, want_rel.types)}
-            want = want_rel.fetchall()
+            # materialize the oracle INSIDE DuckDB (spillable temp table)
+            # instead of fetchall into Python: two 15M-row fetchalls held
+            # simultaneously OOM'd the sf10 gate run
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __want AS ({sql})")
+            desc = con.sql("DESCRIBE __want").fetchall()
+            want_cols = [r[0] for r in desc]
+            want_types = {r[0]: str(r[1]) for r in desc}
             done.set()
         except Exception as e:
             done.set()
@@ -148,14 +151,24 @@ def main(sf_dir, out_dir):
             if timer is not None:
                 timer.cancel()
         try:
-            got_rel = con.sql(
+            # second cursor so the spark side streams independently of the
+            # connection streaming __want (temp tables are con-local, the
+            # parquet is not)
+            gcur = con.cursor()
+            got_rel = gcur.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = list(got_rel.columns)
             got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
-            got = got_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             n_bad += 1
+            if "Out of Memory" in str(e):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = _connect(sf_dir)
+                print(f"[gate] reconnected after {name} failure", flush=True)
             continue
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs oracle {sorted(want_cols)}")
@@ -196,14 +209,34 @@ def main(sf_dir, out_dir):
                       "is not driver-hash-stable: " + "; ".join(hazards))
                 n_bad += 1
                 continue
-        # driver sorts columns by name before hashing; emulate by reordering
+        # driver sorts columns by name before hashing; emulate by reordering.
+        # Lockstep CHUNKED compare — peak Python memory is 2 x CHUNK rows,
+        # independent of result size.
         w_idx = [want_cols.index(c) for c in sorted(want_cols)]
         g_idx = [got_cols.index(c) for c in sorted(got_cols)]
-        want_r = [[r[i] for i in w_idx] for r in want]
-        got_r = [[r[i] for i in g_idx] for r in got]
-        ok, why = rows_match(got_r, want_r)
+        CHUNK = 200000
+        want_rel = con.sql("SELECT * FROM __want")
+        ok, why, n_rows = True, "", 0
+        while True:
+            want = want_rel.fetchmany(CHUNK)
+            got = got_rel.fetchmany(CHUNK)
+            if not want and not got:
+                break
+            if len(want) != len(got):
+                ok, why = False, (f"row count differs at offset {n_rows} "
+                                  f"(+{len(got)} spark vs +{len(want)} oracle)")
+                break
+            ok, why = rows_match(
+                [[r[i] for i in g_idx] for r in got],
+                [[r[i] for i in w_idx] for r in want])
+            if not ok:
+                why = f"at chunk offset {n_rows}: {why}"
+                break
+            n_rows += len(want)
+        con.execute("DROP TABLE IF EXISTS __want")
+        gcur.close()
         if ok:
-            print(f"ok   {name} ({len(got)} rows)")
+            print(f"ok   {name} ({n_rows} rows)")
             n_ok += 1
         else:
             print(f"FAIL {name}: {why}")
