@@ -23,9 +23,19 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 object PruneAudit {
   private def scanInfo(df: DataFrame): (String, Long, Long) = {
     df.collect() // execute so scan metrics are final
-    val scan = df.queryExecution.executedPlan.collect {
+    // AQE wraps any exchange-bearing plan in AdaptiveSparkPlanExec, whose
+    // collect() does NOT descend into the adaptive subtree — unwrap to the
+    // final physical plan first so this helper also works on aggregating
+    // queries, not just the exchange-free eventsInRange path.
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = physical.collect {
       case s: FileSourceScanExec => s
-    }.head
+    }.headOption.getOrElse(sys.error(
+      s"no FileSourceScanExec in plan:\n${physical.treeString}"))
     val pf = scan.metadata.getOrElse("PartitionFilters", "")
     (pf, scan.metrics("numFiles").value,
       scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L))

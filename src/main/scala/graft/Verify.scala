@@ -40,7 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs get a subset oracle_sql.json: a plain check_oracle.py
+    // over a GRAFT_VERIFY_ONLY dump would otherwise FAIL every omitted
+    // query as "spark result missing" (dev-only seam; the driver's full
+    // run has `only` unset, so its json is unchanged).
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -44,6 +44,82 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Exact-duplicate collapse membership over the chunk-bearing corpus:
+    * (doc_id, gid), gid = min doc_id among documents with an IDENTICAL
+    * distinct chunk-hash SET — the mm twin of Dedup.dupGroups. The chunk
+    * set is a pure function of the payload bytes, so members of a group
+    * are interchangeable in the pairwise chunk-overlap computation: a
+    * member pair's shared-chunk count IS its delegates' count, not an
+    * approximation. This is what q_mm_dedup was missing at the ×300 rung
+    * (the only superlinear query there, ×386 wall on ×300 data): clone
+    * multiplicity entered the postings self-join directly, m² per hot
+    * chunk. Collapsed, the quadratic stage sees one delegate per distinct
+    * payload — constant under clone replication — and multiplicity only
+    * re-enters in the output-bound expansion joins.
+    *
+    * One groupBy(doc_id) to build the set + one hash-partitioned window
+    * on the set array (Spark arrays are group-comparable); the persisted
+    * frame is two BIGINTs per chunk-bearing doc.
+    */
+  private[graft] def mmDupGroups(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"mm-dup-groups:$d:${graft.Caches.fingerprint(s, d)}",
+      chunkHashes(s, d)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("chunk_hash"))).as("hs"))
+        .withColumn("gid", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("hs")))
+        .select("doc_id", "gid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Distinct (doc_id, h) chunk-hash postings of the DELEGATES only — the
+    * input of both pairwise mm-dedup stages, hash-partitioned on the chunk
+    * hash so the self-join needs no further exchange. Bounded by the
+    * distinct-payload population, not the corpus.
+    */
+  private def mmDelegatePostings(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.getOrElseUpdate(
+      s"mm-dpostings:$d:${graft.Caches.fingerprint(s, d)}",
+      chunkHashes(s, d)
+        .select(col("doc_id"), col("chunk_hash").as("h")).distinct()
+        .join(mmDupGroups(s, d).where(col("doc_id") === col("gid"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .repartition(col("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Delegate-level shared-chunk pair stage + output-bound expansion,
+    * shared by the uncapped and df-capped mm dedup queries. `ex` is a
+    * (doc_id, h) delegate posting frame (already df-filtered for the
+    * capped variant); pairs sharing >= 3 distinct chunk hashes survive.
+    * Within-group pairs (exact payload clones) share ALL of their
+    * delegate's surviving chunks, so their n_shared is the delegate's
+    * surviving posting count — eligible only when that count clears the
+    * same >= 3 bar (a payload whose every chunk was capped away emits no
+    * postings, hence no pair with its own exact clone — the same
+    * eligibility edge the text family's frac-capped collapse preserves).
+    */
+  private def mmDedupPairs(mem: org.apache.spark.sql.DataFrame,
+      ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dpairs = ex.select(col("doc_id").as("a_id"), col("h"))
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+    val eligible = ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .withColumnRenamed("doc_id", "gid")
+    // (a_id, b_id) stays unique across the union — cross-group pairs have
+    // distinct gids, within-group pairs share one — so the final
+    // ORDER BY a_id, b_id is total.
+    Dedup.expandDelegatePairs(dpairs, mem)
+      .unionByName(Dedup.withinGroupPairs(mem, eligible))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Payload byte statistics [byteLen, mean, max, checksum] — the cheap
     * pre-decode feature tier (corrupt-file triage, size histograms) every
     * media pipeline extracts before spending codec cycles. Deterministic
@@ -160,11 +236,15 @@ object Multimodal {
     // dedup a 100 TB multimodal corpus runs BEFORE any decode (byte-level,
     // codec-agnostic, catches re-uploads, trims, and container re-wraps
     // that whole-file hashing misses). Same inverted-index shape as the
-    // n-gram text dedup: explode to (doc, chunk_hash) postings, equi-join
-    // on the hash, count per pair — never a payload×payload comparison,
-    // and payload bytes never enter the shuffle (hashes only). At corpus
-    // scale a boilerplate chunk (shared container header) would need the
-    // same df-cap q_dedup_ngram_capped applies to hot shingles.
+    // n-gram text dedup — and, as of round 13, the same exact-duplicate
+    // COLLAPSE: the postings self-join runs over one delegate per distinct
+    // chunk-hash set ([[mmDupGroups]]), so duplicate multiplicity never
+    // enters the quadratic stage (it was the only ×300-superlinear query
+    // before this). Payload bytes never enter the shuffle (hashes only);
+    // the m×m member fan-out happens in the output-bound expansion joins,
+    // whose intermediates ARE the result rows. The oracle keeps the naive
+    // self-join formulation — bit-identical semantics, the collapse is
+    // pure plan shape.
     Q("q_mm_dedup", {
       import graft.functions.TextHash
       s"""WITH ch AS (
@@ -180,16 +260,52 @@ object Multimodal {
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      val ch = chunkHashes(s, d)
-        .select(col("doc_id"), col("chunk_hash").as("h"))
-        .distinct()
-      ch.select(col("doc_id").as("a_id"), col("h"))
-        .join(ch.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
-        .where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 3)
-        .orderBy("a_id", "b_id")
+      mmDedupPairs(mmDupGroups(s, d), mmDelegatePostings(s, d))
+    },
+
+    // The scale path for ORGANIC hot chunks (shared container headers,
+    // codec boilerplate — exactly what a real media corpus is full of):
+    // chunk hashes present in more than 1% of chunk-bearing payloads are
+    // boilerplate, not evidence of shared content, and are dropped from
+    // the postings BEFORE the pair join — the q_dedup_ngram_fcapped
+    // treatment. The cap is integer-exact on both engines (df * 100 >
+    // n_docs — no float literal, no ceil-of-decimal divergence) and
+    // FRACTIONAL, so it scales with the corpus instead of silently
+    // capping everything at 100 TB. Spark computes each delegate chunk's
+    // df over the FULL corpus (delegates weighted by group size: Σm over
+    // groups containing the chunk ≡ the naive per-doc count), so the hot
+    // set matches the oracle's exactly.
+    Q("q_mm_dedup_capped", {
+      import graft.functions.TextHash
+      s"""WITH ch AS (
+         |  SELECT DISTINCT doc_id, ${TextHash.polyDuck("chunk")} AS h
+         |  FROM (
+         |    SELECT doc_id, substr(text, (i - 1) * 64 + 1, 64) AS chunk
+         |    FROM documents, unnest(generate_series(1,
+         |      CAST(ceil(length(text) / 64.0) AS BIGINT))) AS u(i)
+         |    WHERE length(text) > 0)),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM ch),
+         |keep AS (
+         |  SELECT h FROM ch GROUP BY h
+         |  HAVING count(*) * 100 <= (SELECT n FROM nd)),
+         |cf AS (SELECT ch.doc_id, ch.h FROM ch JOIN keep USING (h))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cf a JOIN cf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val mem = mmDupGroups(s, d)
+      val gsizes = mem.groupBy("gid").agg(count(lit(1)).as("m"))
+      val ex0 = mmDelegatePostings(s, d)
+      val dfs = ex0
+        .join(gsizes.select(col("gid").as("doc_id"), col("m")), Seq("doc_id"))
+        .groupBy("h").agg(sum("m").as("df"))
+      val n = gsizes.agg(sum("m").as("n_docs"))
+      val hot = dfs.crossJoin(broadcast(n))
+        .where(col("df") * lit(100L) > col("n_docs"))
+        .select("h")
+      mmDedupPairs(mem, ex0.join(broadcast(hot), Seq("h"), "left_anti"))
     },
 
     // Partition-batched byte-stats extraction -> feature columns.

@@ -22,10 +22,10 @@ class DedupCollapseSpec extends SparkSpec
 
   import graft.operators.Dedup
 
-  @volatile private var cloneDirCreated: Option[String] = None
+  @volatile private var cloneDirsCreated: List[String] = Nil
 
   override def afterAll(): Unit = {
-    cloneDirCreated.foreach { d =>
+    cloneDirsCreated.foreach { d =>
       import java.nio.file.{Files, Path}
       import java.util.Comparator
       val root = Path.of(d)
@@ -41,7 +41,7 @@ class DedupCollapseSpec extends SparkSpec
     */
   private lazy val cloneDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupcol").toString
-    cloneDirCreated = Some(dir)
+    cloneDirsCreated = dir :: cloneDirsCreated
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until 5).map(i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i * ScaleUp.KeyOffset)))
@@ -277,6 +277,96 @@ class DedupCollapseSpec extends SparkSpec
       operators.Dedup.calibrationPairs(spark, cloneDir),
       naiveMinhashVerified(cloneDir),
       "calibration pairs")
+  }
+
+  /** Naive distinct (doc_id, h) chunk-hash postings — re-derived from the
+    * 64-unit chunking rule + the public TextHash fragment, not imported
+    * from the module under test.
+    */
+  private def naiveChunkPostings(d: String): DataFrame = {
+    import graft.functions.TextHash
+    spark.read.parquet(s"$d/documents.parquet")
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "sequence(1, cast(ceil(char_length(text) / 64.0) AS bigint))"))
+          .as("i"))
+      .withColumn("chunk",
+        expr("substring(text, cast((i - 1) * 64 + 1 AS int), 64)"))
+      .select(col("doc_id"), expr(TextHash.polySpark("chunk")).as("h"))
+      .distinct()
+  }
+
+  /** Naive (uncollapsed, optionally df-capped) chunk-overlap pairs: the
+    * q_mm_dedup reference semantics, full postings self-join over every
+    * document. capPct: None = uncapped; Some(p) drops hashes with
+    * df * p > n_docs (the integer-exact fractional cap).
+    */
+  private def naiveMmPairs(d: String, capPct: Option[Long]): DataFrame = {
+    val ch0 = naiveChunkPostings(d).persist()
+    val ch = capPct match {
+      case None => ch0
+      case Some(p) =>
+        val nDocs = ch0.select("doc_id").distinct().count()
+        val hot = ch0.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") * lit(p) > lit(nDocs)).select("h")
+        ch0.join(hot, Seq("h"), "left_anti")
+    }
+    ch.select(col("doc_id").as("a_id"), col("h"))
+      .join(ch.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+  }
+
+  test("mm delegate population is invariant under ×5 clone replication") {
+    import graft.operators.Multimodal
+    val baseDel = Multimodal.mmDupGroups(spark, sfDir)
+      .where(col("doc_id") === col("gid")).count()
+    val cloneDel = Multimodal.mmDupGroups(spark, cloneDir)
+      .where(col("doc_id") === col("gid")).count()
+    val baseMem = Multimodal.mmDupGroups(spark, sfDir).count()
+    val cloneMem = Multimodal.mmDupGroups(spark, cloneDir).count()
+    assert(baseDel > 0L)
+    assert(cloneDel === baseDel,
+      s"mm delegate count moved under clones: $baseDel -> $cloneDel — the " +
+        "chunk-pair stage is seeing duplicate multiplicity")
+    assert(cloneMem === baseMem * 5,
+      "mm membership must cover every replica exactly once")
+  }
+
+  test("collapsed mm chunk pairs == naive postings self-join on the clone corpus") {
+    assertSameRows(
+      SparkEntry.queries("q_mm_dedup")(spark, cloneDir),
+      naiveMmPairs(cloneDir, None),
+      "mm chunk pairs")
+  }
+
+  /** Clone corpus with a 192-char (3-chunk-aligned, single distinct hash)
+    * boilerplate prefix on EVERY document — the shared-container-header
+    * shape the df-cap exists for. The prefix is hot by construction
+    * (df = 100 % of chunk-bearing docs >> 1 %), so the capped query must
+    * drop it; the uncapped query counts it into every overlap.
+    */
+  private lazy val boilerDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmboiler").toString
+    cloneDirsCreated = dir :: cloneDirsCreated
+    spark.read.parquet(s"$cloneDir/documents.parquet")
+      .withColumn("text", concat(lit("X" * 192), col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("capped mm pairs == naive full-corpus-df pairs on the boilerplate corpus") {
+    val capped = SparkEntry.queries("q_mm_dedup_capped")(spark, boilerDir)
+    assertSameRows(capped, naiveMmPairs(boilerDir, Some(100L)),
+      "capped mm pairs")
+    // and the cap must actually BITE here: the boilerplate hash inflates
+    // every uncapped overlap by one, so pairs sharing exactly 2 organic
+    // chunks cross the >=3 bar only in the uncapped form
+    val uncapped = SparkEntry.queries("q_mm_dedup")(spark, boilerDir).count()
+    assert(capped.count() < uncapped,
+      "boilerplate fixture produced no cap effect — hot set was empty")
   }
 
   test("collapsed span pairs == naive rolling-hash pairs on the clone corpus") {

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_label_scatter", // broadcast label-count-bounded centroid rows (4)
     "q_bm25_rank", // 1-row corpus statistics (N, avgdl, per-term df)
     "q_dedup_ngram_fcapped", // 1-row corpus size N onto the shingle-df frame
+    "q_mm_dedup_capped", // 1-row corpus size N onto the chunk-df frame
     "q_boilerplate", // same frame: 1-row corpus size N onto the shingle-df
     "q_text_lm_score", // 1-row vocabulary size broadcast
     "q_text_lm_topk", // same 1-row vocabulary-size broadcast

@@ -64,13 +64,19 @@ def _connect(sf_dir):
 
 def main(sf_dir, out_dir):
     con = _connect(sf_dir)
+    strict = os.environ.get("GRAFT_ORACLE_STRICT", "") not in ("", "0")
+    # Run-identity header: printed first so a later GRAFT_ORACLE_RESUME can
+    # verify the prior log came from the SAME gate configuration — a stale
+    # log from another sfDir/outDir/strict setting must not greenlight
+    # queries into the merged total.
+    ident = f"[gate] sfDir={sf_dir} outDir={out_dir} strict={int(strict)}"
+    print(ident, flush=True)
     # Opt-in per-oracle-query wall clock (seconds): the sf1 scale-stress
     # replicas make a handful of DuckDB oracle CTEs quadratic in clone
     # multiplicity (inverted-index self-joins); a timeout records them as
     # ORACLE-TIMEOUT instead of hanging the gate. Unset (the driver's
     # path) → no timer, behavior unchanged.
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
-    strict = os.environ.get("GRAFT_ORACLE_STRICT", "") not in ("", "0")
     n_timeout = 0
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
@@ -80,11 +86,22 @@ def main(sf_dir, out_dir):
     resumed = set()
     resume_log = os.environ.get("GRAFT_ORACLE_RESUME")
     if resume_log and os.path.exists(resume_log):
-        for line in open(resume_log):
-            if line.startswith("ok   "):
-                resumed.add(line.split()[1])
-        print(f"[resume] skipping {len(resumed)} queries already ok in "
-              f"{resume_log}")
+        prior = open(resume_log).read().splitlines()
+        prior_ident = next((l for l in prior if l.startswith("[gate] ")), None)
+        if prior_ident is not None and prior_ident != ident:
+            print(f"[resume] REFUSED: prior log identity mismatch\n"
+                  f"  prior: {prior_ident}\n  this:  {ident}")
+        else:
+            if prior_ident is None:
+                # pre-header logs (r12 and earlier) carry no identity line;
+                # honor them but say so — the operator must vouch manually
+                print(f"[resume] WARNING: {resume_log} has no [gate] header; "
+                      "cannot verify it matches this sfDir/outDir/strict")
+            for line in prior:
+                if line.startswith("ok   "):
+                    resumed.add(line.split()[1])
+            print(f"[resume] skipping {len(resumed)} queries already ok in "
+                  f"{resume_log}: {' '.join(sorted(resumed))}")
     # GRAFT_ORACLE_SKIP=q_a,q_b : queries adjudicated OUTSIDE this gate
     # (e.g. the recursive-CTE family at clone rungs where the oracle is
     # single-node infeasible and tools/oracle_expand.py carries the exact

@@ -34,8 +34,6 @@ def main(sf_dir, out_dir, names):
         sql = oracle[name]
         t0 = time.time()
         try:
-            rel = con.sql(sql)
-            cols = list(rel.columns)
             dst = f"{out_dir}/oracle_{name}.parquet"
             con.execute(
                 f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
