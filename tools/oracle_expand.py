@@ -84,6 +84,15 @@ CC_QUERIES = ["q_dedup_cluster", "q_dedup_survivor", "q_split_assign",
 # IEEE-exact 1.0 (i/i), and no other pair exists at >= 0.5.
 PAIR_QUERIES = ["q_dedup_ngram", "q_dup_degree", "q_jaccard_hist",
                 "q_source_overlap"]
+# Chunk-hash mm dedup family: same clone algebra on the chunk-hash SET
+# (a pure function of the payload bytes). A base pair (a,b,n_shared)
+# lifts to all f^2 clone combinations at the SAME integer n_shared;
+# every doc with >= 3 (surviving) distinct chunks pairs with its own
+# clones at n_shared = that count; no other pair clears the >= 3 bar
+# (it would imply the base pair). The capped twin's fractional hot set
+# is clone-INVARIANT by integer arithmetic (df'=f*df, n'=f*n, so
+# df'*100 > n' <=> df*100 > n) — no cap-scaling assertion needed.
+MM_QUERIES = ["q_mm_dedup", "q_mm_dedup_capped"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -176,6 +185,27 @@ def base_fcapped(base_dir, oracle):
     return pairs, eligible, nb
 
 
+def base_mm(base_dir, oracle, name):
+    """Base mm chunk-overlap pair list (the query's own output) + the
+    within-family eligibility frame: (doc_id, c) with c = the doc's
+    (surviving, for the capped twin) distinct chunk count, c >= 3."""
+    sql = oracle[name]
+    i = sql.find("SELECT a.doc_id")
+    assert i > 0, f"{name} oracle shape drifted"
+    prefix = sql[:i].rstrip()
+    src = "cf" if name.endswith("_capped") else "ch"
+    con = connect(base_dir)
+    t0 = time.time()
+    pairs = con.sql(sql).fetchall()
+    elig = con.sql(
+        prefix + f"\nSELECT doc_id, CAST(count(*) AS BIGINT) AS c "
+                 f"FROM {src} GROUP BY doc_id HAVING count(*) >= 3").fetchall()
+    print(f"[expand] base {name}: {len(pairs)} pairs, {len(elig)} eligible "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    con.close()
+    return pairs, elig
+
+
 def base_edges(base_dir, oracle):
     """Base und edge list (directed both ways) for the pagerank law."""
     sql = oracle["q_pagerank"]
@@ -220,30 +250,50 @@ def compare_with_spark(con, name, out_dir, dst):
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"SAVED {name} ({n} rows) — no spark dump present", flush=True)
         return True
+    # lockstep CHUNKED compare (check_oracle's shape): the ×300 rung's
+    # pair-family predictions run to 200M+ rows — two fetchall()s of that
+    # held simultaneously OOM the gate host.
     want_rel = con.sql(f"SELECT * FROM '{dst}'")
     want_cols = list(want_rel.columns)
-    want = want_rel.fetchall()
-    got_rel = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+    gcur = con.cursor()
+    got_rel = gcur.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
     got_cols = list(got_rel.columns)
-    got = got_rel.fetchall()
     if sorted(want_cols) != sorted(got_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}",
               flush=True)
         return False
-    w = [[r[i] for i in [want_cols.index(c) for c in sorted(want_cols)]]
-         for r in want]
-    g = [[r[i] for i in [got_cols.index(c) for c in sorted(got_cols)]]
-         for r in got]
-    ok, why = rows_match(g, w)
-    print(f"{'ok  ' if ok else 'FAIL'} {name} ({len(got)} rows)"
+    w_idx = [want_cols.index(c) for c in sorted(want_cols)]
+    g_idx = [got_cols.index(c) for c in sorted(got_cols)]
+    CHUNK = 200000
+    ok, why, n_rows = True, "", 0
+    while True:
+        want = want_rel.fetchmany(CHUNK)
+        got = got_rel.fetchmany(CHUNK)
+        if not want and not got:
+            break
+        if len(want) != len(got):
+            ok, why = False, (f"row count differs at offset {n_rows} "
+                              f"(+{len(got)} spark vs +{len(want)} oracle)")
+            break
+        ok, why = rows_match([[r[i] for i in g_idx] for r in got],
+                             [[r[i] for i in w_idx] for r in want])
+        if not ok:
+            why = f"at chunk offset {n_rows}: {why}"
+            break
+        n_rows += len(want)
+    gcur.close()
+    print(f"{'ok  ' if ok else 'FAIL'} {name} ({n_rows} rows)"
           + ("" if ok else f": {why}"), flush=True)
     return ok
 
 
-def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
+def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
+                 compare=True):
     """Predict all 6 oracle answers on the f-expanded corpus; compare with
     Spark dumps under out_dir when present; save parquet under save_dir
-    (default out_dir)."""
+    (default out_dir). compare=False (the selfcheck path) skips the Spark
+    compare entirely — the dumps under out_dir are for a DIFFERENT scale
+    there, and comparing against them would print misleading FAILs."""
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     save_dir = save_dir or out_dir
     cc, bs = base_cc_and_b(base_dir, oracle)
@@ -288,7 +338,8 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
         dst = f"{save_dir}/oracle_{name}.parquet"
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         print(f"[expand] {name} predicted in {time.time()-t0:.0f}s", flush=True)
-        all_ok &= compare_with_spark(con, name, out_dir, dst)
+        if compare:
+            all_ok &= compare_with_spark(con, name, out_dir, dst)
 
     # fcapped: valid only when hot sets coincide across the scale-up —
     # scaled df = f x base df (clones), so hot_scaled <=> df > cap_s/f;
@@ -328,7 +379,40 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
         WHERE i.range < j.range)
       SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM fam)
       ORDER BY a_id, b_id) TO '{dst}' (FORMAT PARQUET)""")
-    all_ok &= compare_with_spark(con, "q_dedup_ngram_fcapped", out_dir, dst)
+    if compare:
+        all_ok &= compare_with_spark(con, "q_dedup_ngram_fcapped", out_dir, dst)
+
+    # mm chunk-hash dedup family: pair lift + eligibility fan-out
+    for name in MM_QUERIES:
+        if name not in oracle:
+            continue
+        pairs, elig = base_mm(base_dir, oracle, name)
+        con.execute("CREATE OR REPLACE TABLE mmp "
+                    "(a_id BIGINT, b_id BIGINT, n_shared BIGINT)")
+        con.executemany("INSERT INTO mmp VALUES (?, ?, ?)", pairs)
+        con.execute("CREATE OR REPLACE TABLE mme (doc_id BIGINT, c BIGINT)")
+        con.executemany("INSERT INTO mme VALUES (?, ?)", elig)
+        dst = f"{save_dir}/oracle_{name}.parquet"
+        t0 = time.time()
+        con.execute(f"""COPY (
+          WITH cross_p AS (
+            SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                         p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+                   greatest(p.a_id + i.range * {KEY_OFFSET},
+                            p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+                   p.n_shared
+            FROM mmp p CROSS JOIN range({f}) i CROSS JOIN range({f}) j),
+          fam AS (
+            SELECT e.doc_id + i.range * {KEY_OFFSET} AS a_id,
+                   e.doc_id + j.range * {KEY_OFFSET} AS b_id,
+                   e.c AS n_shared
+            FROM mme e CROSS JOIN range({f}) i CROSS JOIN range({f}) j
+            WHERE i.range < j.range)
+          SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM fam)
+          ORDER BY a_id, b_id) TO '{dst}' (FORMAT PARQUET)""")
+        print(f"[expand] {name} predicted in {time.time()-t0:.0f}s", flush=True)
+        if compare:
+            all_ok &= compare_with_spark(con, name, out_dir, dst)
 
     # pagerank: exact integer recurrence on the base graph, fanned out
     pr = pagerank_expanded(base_edges(base_dir, oracle), bs, f)
@@ -341,7 +425,8 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None):
       SELECT p.doc_id + i.range * {KEY_OFFSET} AS doc_id, p.deg, p.pr_scaled
       FROM pr_base p CROSS JOIN range({f}) i
       ORDER BY pr_scaled DESC, doc_id) TO '{dst}' (FORMAT PARQUET)""")
-    all_ok &= compare_with_spark(con, "q_pagerank", out_dir, dst)
+    if compare:
+        all_ok &= compare_with_spark(con, "q_pagerank", out_dir, dst)
     con.close()
     return all_ok
 
@@ -360,11 +445,12 @@ def selfcheck(base_dir, f, out_dir):
           TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
         con0.close()
         # predictions land in tmp; originals computed fresh per query
-        okall = run_expanded(base_dir, tmp, f, out_dir, save_dir=tmp)
+        okall = run_expanded(base_dir, tmp, f, out_dir, save_dir=tmp,
+                             compare=False)
         assert okall is not None
         con = connect(tmp)
         ok = True
-        for name in (CC_QUERIES + PAIR_QUERIES
+        for name in (CC_QUERIES + PAIR_QUERIES + MM_QUERIES
                      + ["q_dedup_ngram_fcapped", "q_pagerank"]):
             t0 = time.time()
             want = con.sql(oracle[name]).fetchall()  # ORIGINAL quadratic SQL
