@@ -414,6 +414,33 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
         if compare:
             all_ok &= compare_with_spark(con, name, out_dir, dst)
 
+    # q_interval_join: the join predicate is DATE-only (shipdate within
+    # [orderdate, orderdate+30d]) with no key equality, and ScaleUp never
+    # mutates dates — so EVERY lineitem replica matches EVERY order
+    # replica: n_shipped'(o_i) = f * n_shipped(o), including the left-join
+    # zeros (f*0). The o_orderkey % 100 = 0 filter survives cloning
+    # because KeyOffset % 100 == 0 (asserted). The base answer is the
+    # whole quadratic part; the lift is a single fan-out.
+    if "q_interval_join" in oracle:
+        assert KEY_OFFSET % 100 == 0, "interval-join law needs K % 100 == 0"
+        bcon = connect(base_dir)
+        t0 = time.time()
+        ij = bcon.sql(oracle["q_interval_join"]).fetchall()
+        bcon.close()
+        print(f"[expand] base q_interval_join: {len(ij)} rows "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        con.execute("CREATE OR REPLACE TABLE ij_base "
+                    "(o_orderkey BIGINT, n_shipped BIGINT)")
+        con.executemany("INSERT INTO ij_base VALUES (?, ?)", ij)
+        dst = f"{save_dir}/oracle_q_interval_join.parquet"
+        con.execute(f"""COPY (
+          SELECT b.o_orderkey + i.range * {KEY_OFFSET} AS o_orderkey,
+                 b.n_shipped * {f} AS n_shipped
+          FROM ij_base b CROSS JOIN range({f}) i
+          ORDER BY o_orderkey) TO '{dst}' (FORMAT PARQUET)""")
+        if compare:
+            all_ok &= compare_with_spark(con, "q_interval_join", out_dir, dst)
+
     # pagerank: exact integer recurrence on the base graph, fanned out
     pr = pagerank_expanded(base_edges(base_dir, oracle), bs, f)
     con.execute(
@@ -443,6 +470,16 @@ def selfcheck(base_dir, f, out_dir):
           SELECT * REPLACE (doc_id + i.range * {KEY_OFFSET} AS doc_id)
           FROM documents CROSS JOIN range({f}) i)
           TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+        # orders + lineitem clones (primary keys offset, ScaleUp's rule)
+        # so the interval-join law's ORIGINAL SQL runs on the clone dir too
+        con0.execute(f"""COPY (
+          SELECT * REPLACE (o_orderkey + i.range * {KEY_OFFSET} AS o_orderkey)
+          FROM orders CROSS JOIN range({f}) i)
+          TO '{tmp}/orders.parquet' (FORMAT PARQUET)""")
+        con0.execute(f"""COPY (
+          SELECT * REPLACE (l_orderkey + i.range * {KEY_OFFSET} AS l_orderkey)
+          FROM lineitem CROSS JOIN range({f}) i)
+          TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)""")
         con0.close()
         # predictions land in tmp; originals computed fresh per query
         okall = run_expanded(base_dir, tmp, f, out_dir, save_dir=tmp,
@@ -451,7 +488,8 @@ def selfcheck(base_dir, f, out_dir):
         con = connect(tmp)
         ok = True
         for name in (CC_QUERIES + PAIR_QUERIES + MM_QUERIES
-                     + ["q_dedup_ngram_fcapped", "q_pagerank"]):
+                     + ["q_dedup_ngram_fcapped", "q_pagerank",
+                        "q_interval_join"]):
             t0 = time.time()
             want = con.sql(oracle[name]).fetchall()  # ORIGINAL quadratic SQL
             got = con.sql(
