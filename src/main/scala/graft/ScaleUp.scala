@@ -81,8 +81,30 @@ object ScaleUp {
           df.withColumn(k, col(k) + lit(i * KeyOffset))
         }
       }.reduce(_ unionAll _)
-      replicated.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      System.err.println(s"[scaleup] $t x$factor written")
+      // Events is the stream table, and a 100 TB stream table IS
+      // date-partitioned — so the replicas are too, BY DEFAULT (round-13;
+      // the r12 PruneAudit proved the pruning path on a one-off rewrite;
+      // making it the generated layout means every date-range query at
+      // every scale rung exercises partition pruning continuously).
+      // Tables presents the identical flat schema either way, and
+      // eventsInRange derives the PartitionFilters. One repartition(date)
+      // shuffle for this table only — one file per day dir, tight ts
+      // row-group stats via the within-partition sort. SCALEUP_FLAT_EVENTS
+      // =1 keeps the old flat layout (layout A/B runs).
+      if (t == "events" &&
+          !sys.env.get("SCALEUP_FLAT_EVENTS").exists(_ == "1")) {
+        replicated
+          .withColumn(Tables.EventsPartCol, to_date(col("ts")))
+          .repartition(col(Tables.EventsPartCol))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite")
+          .partitionBy(Tables.EventsPartCol)
+          .parquet(s"$outDir/$t.parquet")
+        System.err.println(s"[scaleup] $t x$factor written (date-partitioned)")
+      } else {
+        replicated.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        System.err.println(s"[scaleup] $t x$factor written")
+      }
     }
     spark.stop()
   }

@@ -4,15 +4,18 @@ the BENCH gate compares against (developer tooling; see BASELINE.md).
 
 Usage: python3 tools/bench_duck.py <sfDir> <verifyOutDir-with-oracle_sql.json>
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import view_select
 
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     for name, sql in sorted(oracle.items()):

@@ -43,6 +43,22 @@ def rows_match(a, b, tol=1e-6):
                     return False, f"row {i}: {va!r} vs {vb!r}"
     return True, ""
 
+def view_select(sf_dir, t):
+    """SELECT body for table t under sf_dir, handling all three layouts:
+    single parquet file (driver testdata), flat part-file directory
+    (pre-r13 ScaleUp replicas), and hive date-partitioned events
+    (events.parquet/event_date=.../part-*, the r13 ScaleUp default) —
+    the partition column is dropped so every layout presents the same
+    schema, mirroring graft.Tables."""
+    p = f"{sf_dir}/{t}.parquet"
+    if not os.path.isdir(p):
+        return f"SELECT * FROM '{p}'"
+    if any(e.startswith("event_date=") for e in os.listdir(p)):
+        return ("SELECT * EXCLUDE (event_date) FROM read_parquet("
+                f"'{p}/*/*.parquet', hive_partitioning = true)")
+    return f"SELECT * FROM '{p}/*.parquet'"
+
+
 def _connect(sf_dir):
     con = duckdb.connect()
     # scale-rung hygiene: DuckDB defaults to 80% of RAM and all cores —
@@ -54,11 +70,7 @@ def _connect(sf_dir):
     con.execute("SET temp_directory='/tmp/duck_gate_tmp'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        # Spark-written scale replicas (graft.ScaleUp) are DIRECTORIES of
-        # part files; the driver's testdata is single files. Same views.
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")
     return con
 
 

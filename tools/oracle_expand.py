@@ -48,7 +48,7 @@ import json, os, shutil, sys, tempfile, time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check_oracle import rows_match
+from check_oracle import rows_match, view_select
 
 KEY_OFFSET = 10000000  # graft.ScaleUp.KeyOffset
 S = 1000000000000      # pagerank fixed-point scale (oracle literal)
@@ -105,8 +105,7 @@ def connect(sf_dir):
         p = f"{sf_dir}/{t}.parquet"
         if not (os.path.isdir(p) or os.path.exists(p)):
             continue
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")
     return con
 
 

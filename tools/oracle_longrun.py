@@ -16,7 +16,7 @@ import json, os, sys, time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check_oracle import rows_match
+from check_oracle import rows_match, view_select
 
 
 def main(sf_dir, out_dir, names):
@@ -25,9 +25,7 @@ def main(sf_dir, out_dir, names):
     con.execute("SET temp_directory='/tmp/duck_longrun_tmp'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     rc = 0
     for name in names:
