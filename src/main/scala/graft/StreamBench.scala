@@ -135,13 +135,19 @@ object StreamBench {
     // over 4 occupied cells spent 11-17 s aggregate stateCommit per batch
     // across the session's 32 state partitions (~12 ms of useful work);
     // sizing its state to the cell count cut avg batch 1091 -> 652 ms.
-    // The event twins keep the session width: 1500 user keys want the
-    // parallelism (measured SLOWER at 4). Production rule: state
-    // partitions track the operator's KEY population, not the batch
-    // engine's shuffle width. Envs override for A/B runs.
+    // r13 swept the EVENT twins too (widths 4/8/16/32, same box): rows/s
+    // rises monotonically as width shrinks — funnel 14.1k (32) -> 17.0k
+    // (16) -> 23.1k (8) -> 24.0k (4); the per-partition store overhead
+    // dominates at bench batch volume (12.5k rows/batch over 1500 keys).
+    // Default is 8: within noise of the measured best, keeps 8-way
+    // parallel headroom. Production rule: state partitions track the
+    // per-batch STATE WORK (keys touched x per-key cost), floored by the
+    // per-partition store overhead — not the batch engine's shuffle
+    // width; at real stream volume (millions of rows/batch) the balance
+    // moves back toward wider. Envs override for A/B runs.
     val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val eventShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_EVENTS",
-      sessionShuffle)
+      "8")
     def withShuffle[T](n: String)(body: => T): T = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       try body finally
