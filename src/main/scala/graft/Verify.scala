@@ -19,15 +19,42 @@ object Verify {
     // re-checks of individual queries); unset = the driver's full dump.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Dev-only scale-rung seams (unset on the driver's path, behavior
+    // identical): GRAFT_VERIFY_RESUME=1 skips any query whose dump already
+    // committed (_SUCCESS present) — a multi-hour ×300 dump can survive a
+    // restart instead of redoing finished queries. GRAFT_VERIFY_NO_COALESCE
+    // =1 keeps the final stage parallel: coalesce(1) funnels each query's
+    // last stage through ONE task, which is fine at sf0.01 but makes the
+    // 200M+-row pair dumps single-threaded at ×300. Order stays comparable
+    // either way — every registered query ends in a total global sort
+    // (SortTotalitySpec), so the range-partitioned part files read back in
+    // filename order ARE the sorted sequence.
+    val resume = sys.env.get("GRAFT_VERIFY_RESUME").exists(_ == "1")
+    val noCoalesce = sys.env.get("GRAFT_VERIFY_NO_COALESCE").exists(_ == "1")
+    writeOracleJson(outDir, only) // before the dumps: a gate tailing the
+    // dump dir (scale rungs) needs the SQL as soon as results land
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        val done = resume &&
+          Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+        if (done) System.err.println(s"[verify] $name: resumed (skip)")
+        !done
+      }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (noCoalesce) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String,
+                              only: Option[Set[String]]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +75,5 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -67,7 +67,9 @@ def _connect(sf_dir):
         con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
     if os.environ.get("GRAFT_DUCK_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
-    con.execute("SET temp_directory='/tmp/duck_gate_tmp'")
+    # per-process temp dir: two concurrent gate shards sharing one spill
+    # dir abort each other (DuckDB unlinks the whole dir's files on exit)
+    con.execute(f"SET temp_directory='/tmp/duck_gate_tmp_{os.getpid()}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")

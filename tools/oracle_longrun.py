@@ -22,7 +22,9 @@ from check_oracle import rows_match, view_select
 def main(sf_dir, out_dir, names):
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '8')}")
-    con.execute("SET temp_directory='/tmp/duck_longrun_tmp'")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    con.execute(f"SET temp_directory='/tmp/duck_longrun_tmp_{os.getpid()}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")
