@@ -76,6 +76,26 @@ def _connect(sf_dir):
     return con
 
 
+
+
+def _reconnect(sf_dir, name):
+    """Reconnect after an OOM/IO failure poisoned the connection. The dying
+    connection can hold its memory briefly past close() — a bare _connect
+    here OOM'd and killed the whole gate (observed at the x300 rung), so
+    retry with a backoff to let the allocator drain."""
+    import gc, time as _t
+    for delay in (0, 5, 20, 60):
+        _t.sleep(delay)
+        gc.collect()
+        try:
+            con = _connect(sf_dir)
+            print(f"[gate] reconnected after {name} failure", flush=True)
+            return con
+        except Exception as e:
+            print(f"[gate] reconnect attempt failed ({e}); retrying",
+                  flush=True)
+    raise RuntimeError(f"could not reconnect after {name}")
+
 def main(sf_dir, out_dir):
     con = _connect(sf_dir)
     strict = os.environ.get("GRAFT_ORACLE_STRICT", "") not in ("", "0")
@@ -174,8 +194,7 @@ def main(sf_dir, out_dir):
                     con.close()
                 except Exception:
                     pass
-                con = _connect(sf_dir)
-                print(f"[gate] reconnected after {name} failure", flush=True)
+                con = _reconnect(sf_dir, name)
             continue
         finally:
             done.set()
@@ -198,8 +217,7 @@ def main(sf_dir, out_dir):
                     con.close()
                 except Exception:
                     pass
-                con = _connect(sf_dir)
-                print(f"[gate] reconnected after {name} failure", flush=True)
+                con = _reconnect(sf_dir, name)
             continue
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs oracle {sorted(want_cols)}")
