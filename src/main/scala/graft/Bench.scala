@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 /** Driver-run benchmark: times every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
@@ -10,8 +12,25 @@ package graft
   * slowest queries by full name — the headline vector — and (b) ALL query
   * times as a compact array in ascending query-name order (3 dp), which
   * reconstructs the full per-query vector against the identically-sorted
-  * CORRECTNESS keys; the full-precision named map is ALSO written to
-  * BENCH_FULL.json in the working directory for direct reading.
+  * CORRECTNESS keys; the full-precision named map is ALSO written to a
+  * timestamped file under target/bench/ (SPARK_GRAFT_BENCH_OUT overrides;
+  * the default is deliberately NOT a fixed repo path — r13 lost two
+  * committed BENCH_FULL.json evidence files to ad-hoc re-runs clobbering
+  * the contract artifact; refreshing the committed file is now an
+  * explicit SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json act, see round_end.sh).
+  *
+  * Cross-session calibration (r13 verdict #2): raw walls are NOT
+  * comparable across sessions — the r13 judge measured a uniform ~1.4×
+  * Spark-only box drift (the r12 tree: 73 s one session, 122 s the next;
+  * DuckDB flat). Every artifact therefore carries (a) a fixed reference
+  * anchor pair with no query logic — a pure-codegen in-memory aggregate
+  * and a fixed 600k-row parquet scan, best-of-3 — and (b) per-query
+  * executor CPU-ms and GC-ms from a task-metrics listener (bus drained
+  * around each timed run so tail tasks bill to the right query). A future
+  * uniform wall drift is adjudicable from the artifact alone: box drift
+  * moves the anchors and walls together and leaves `anchor_norm_total`
+  * (wall total / cpu-anchor wall) flat; a code regression moves the
+  * normalized total.
   *
   * A query that throws reports -1 sec (visible in the JSON, error on
   * stderr) instead of silently recording its time-to-failure.
@@ -27,17 +46,72 @@ object Bench {
       SparkEntry.queries.toSeq.filter(q => names(q._1)))
     val spark = GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+
+    // Task-metrics collector: executor CPU ns + JVM GC ms, accumulated
+    // across all tasks; `metered` snapshots around a run with the bus
+    // drained on both sides so the delta is that run's and only that run's.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
       }
+    })
+    // wall sec (-1 on failure), executor CPU ms, GC ms for one execution.
+    def metered(name: String)(run: => Unit): (Double, Long, Long) = {
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val (c0, g0) = (cpuNs.get, gcMs.get)
+      val t0 = System.nanoTime()
+      val wall = try { run; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      (wall, (cpuNs.get - c0) / 1000000L, gcMs.get - g0)
     }
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) =
+      metered(name) {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }
+
+    // Fixed reference anchors — constant workloads, zero query logic.
+    // anchor_cpu: pure whole-stage-codegen arithmetic over range(200M), no
+    // IO — isolates the JVM/scheduler/CPU axis of box drift. anchor_scan:
+    // full-width hash-aggregate over the FIXED sf0.1 events table (600k
+    // rows; xxhash64(struct(*)) defeats column pruning so the whole file
+    // is read) — adds the parquet/page-cache/disk axis. Best-of-3 each,
+    // measured on the warm JVM for run-to-run consistency.
+    val anchorDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR",
+      "/root/testdata/sf0.1")
+    def anchors(): (Double, Long, Double, Long) = {
+      import org.apache.spark.sql.functions._
+      // ANSI-safe arithmetic: terms are reduced mod 1e6 before the sum
+      // (≤2e14 total) / folded with bit_xor — a raw sum of 200M full-range
+      // longs ARITHMETIC_OVERFLOWs under Spark 4's default ANSI mode.
+      def cpuRun() = metered("anchor_cpu") {
+        spark.range(200000000L)
+          .selectExpr("sum((id * 37 + 11) % 1000003) AS s", "count(*) AS n")
+          .write.mode("overwrite").format("noop").save()
+      }
+      def scanRun() = metered("anchor_scan") {
+        spark.read.parquet(s"$anchorDir/events.parquet")
+          .agg(expr("bit_xor(xxhash64(struct(*)))").as("h"),
+            count(lit(1)).as("n"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      val cpu = (1 to 3).map(_ => cpuRun()).filter(_._1 >= 0)
+      val scan = (1 to 3).map(_ => scanRun()).filter(_._1 >= 0)
+      def best(xs: Seq[(Double, Long, Long)]): (Double, Long) =
+        if (xs.isEmpty) (-1.0, -1L) else { val b = xs.minBy(_._1); (b._1, b._2) }
+      val (cw, cc) = best(cpu); val (sw, sc) = best(scan)
+      (cw, cc, sw, sc)
+    }
+
     // SPARK_GRAFT_COLD=1: ONE timed pass on the fresh JVM — no warm-up, no
     // cache barrier, every query billed whatever shared builds / codegen /
     // JIT it actually triggers. The honest first-run number that pairs
@@ -58,36 +132,54 @@ object Bench {
       // Caches-memoized shared frame; force-materialize them all HERE so no
       // timed pass can be billed a shared build (round-7 review: per-query
       // times flapped 0.66 s <-> 1.53 s depending on which consumer drew the
-      // build). The per-key scan times land in BENCH_FULL.json as evidence
+      // build). The per-key scan times land in the full JSON as evidence
       // the registry was warm before timing started.
       val warm = graft.Caches.warm()
       System.err.println(s"[bench] cache barrier: ${warm.size} shared frames warm")
       // Two timed passes, best-of per query: a single shared JVM accumulates
       // shuffle files / broadcast blocks whose async cleanup lands on random
       // queries (observed 2.6 s -> 17 s spikes on an otherwise stable query);
-      // min-of-2 reports the query's actual steady-state cost.
+      // min-of-2 reports the query's actual steady-state cost. CPU/GC ride
+      // with whichever pass won the wall.
       val pass1 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
       val pass2 = selected.map { case (name, fn) => name -> runOnce(name, fn) }
       (pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-        name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+        name -> (if (a._1 < 0) b else if (b._1 < 0) a
+                 else if (a._1 <= b._1) a else b)
       }, warm, "warm")
     }
+    // Anchors AFTER the query passes: the JVM is maximally warm, so the
+    // anchor measures the box, not residual JIT. (Cold mode still anchors
+    // warm — best-of-3 makes rep 1 the JIT payer either way.)
+    val (anchorCpuSec, anchorCpuMs, anchorScanSec, anchorScanMs) = anchors()
     // Double.toString is locale-independent (an f"%.3f" would not be).
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // Failed queries are reported by NAME and excluded from every map and
     // total, so "value", "n_run" and the per-query vectors always describe
     // the same query set (a -1.0 sentinel inside the map made cross-round
     // totals silently incomparable).
-    val okResults = results.filter(_._2 >= 0)
-    val failed = results.collect { case (name, v) if v < 0 => name }
+    val okResults = results.filter(_._2._1 >= 0)
+    val failed = results.collect { case (name, v) if v._1 < 0 => name }
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = okResults.map(_._2).sum
-    // Full-precision named map -> repo file. Full-suite runs only — a
-    // focused SPARK_GRAFT_ONLY iteration must not clobber the last
-    // complete map. Best-effort: bench must still report on a read-only
-    // working directory.
+    val total = okResults.map(_._2._1).sum
+    val cpuTotalMs = okResults.map(_._2._2).sum
+    val gcTotalMs = okResults.map(_._2._3).sum
+    // Two renderings: the full file keeps the anchor dir + anchor CPU-ms;
+    // the stdout line (hard ~2000-char driver capture budget, r13 measured
+    // 1631 used) carries only the two anchor walls.
+    val anchorJson = s"""{"cpu_sec":${f3(anchorCpuSec)},"cpu_ms":$anchorCpuMs,"scan_sec":${f3(anchorScanSec)},"scan_ms":$anchorScanMs,"dir":"$anchorDir"}"""
+    val anchorBrief = s"""{"cpu_sec":${f3(anchorCpuSec)},"scan_sec":${f3(anchorScanSec)}}"""
+    val normTotal = if (anchorCpuSec > 0) f3(total / anchorCpuSec) else "-1"
+    // Full-precision named map -> timestamped evidence file. Full-suite
+    // runs only — a focused SPARK_GRAFT_ONLY iteration must not write a
+    // misleading partial map. Best-effort: bench must still report on a
+    // read-only working directory.
     if (only.isEmpty) {
-      val fullQs = okResults.map { case (k, v) => "\"" + k + "\":" + v }
+      val fullQs = okResults.map { case (k, v) => "\"" + k + "\":" + v._1 }
+        .mkString("{", ",", "}")
+      val cpuQs = okResults.map { case (k, v) => "\"" + k + "\":" + v._2 }
+        .mkString("{", ",", "}")
+      val gcQs = okResults.map { case (k, v) => "\"" + k + "\":" + v._3 }
         .mkString("{", ",", "}")
       // cache_warm: per-shared-frame scan seconds measured at the cache
       // barrier (post-build, pre-timing) — near-zero values are the proof
@@ -104,26 +196,32 @@ object Bench {
       val cacheBytesQs = cacheBytes.map { case (k, b) =>
         "\"" + k.takeWhile(_ != ':') + "\":" + b
       }.mkString("{", ",", "}")
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$fullQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
-      // SPARK_GRAFT_BENCH_OUT redirects the full map for off-contract runs
-      // (the sf1 scale-stress) so they never clobber the driver-read
-      // BENCH_FULL.json of the contract scale. A cold run with no explicit
-      // path self-segregates the same way: cold numbers must never land in
-      // the warm contract artifact (the embedded mode field is not enough
-      // for a reader that only parses "value").
-      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-        .getOrElse(if (cold) "BENCH_FULL_cold.json" else "BENCH_FULL.json")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), fullJson + "\n")
-      catch { case e: Throwable =>
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorJson,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"queries":$fullQs,"cpu_ms":$cpuQs,"gc_ms":$gcQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
+      // SPARK_GRAFT_BENCH_OUT pins the output path (the contract refresh
+      // in round_end.sh sets BENCH_FULL.json explicitly; scale-stress runs
+      // set bench/BENCH_sfN.json). Unset = a timestamped file under
+      // target/bench/ — re-running Bench can never silently replace a
+      // committed evidence file (r13 verdict #3).
+      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+        val ts = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss")
+          .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+        val _ = new java.io.File("target/bench").mkdirs()
+        s"target/bench/BENCH_FULL_${if (cold) "cold_" else ""}$ts.json"
+      }
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outPath), fullJson + "\n")
+        System.err.println(s"[bench] full map -> $outPath")
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $outPath not written: ${e.getMessage}")
       }
     }
-    val slowest = okResults.sortBy(-_._2).take(12)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val slowest = okResults.sortBy(-_._2._1).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v._1) }.mkString("{", ",", "}")
     val sortedVec = okResults.sortBy(_._1)
-      .map { case (_, v) => f3(v) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = the ${okResults.size} succeeded times in ascending query-name order, 3dp; full named map in BENCH_FULL.json","sf":"$sfDir"}""")
+      .map { case (_, v) => f3(v._1) }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorBrief,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${okResults.size} ok times asc by name, 3dp; full map + per-query cpu/gc in the target/bench file","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -31,6 +33,20 @@ object Verify {
     // filename order ARE the sorted sequence.
     val resume = sys.env.get("GRAFT_VERIFY_RESUME").exists(_ == "1")
     val noCoalesce = sys.env.get("GRAFT_VERIFY_NO_COALESCE").exists(_ == "1")
+    // Resume identity (r13 ADVICE): a _SUCCESS left by a run against a
+    // DIFFERENT sfDir or query set must not be silently reused — the gate
+    // would validate stale results. First run writes the identity; a
+    // resume against a mismatching outDir refuses instead.
+    val fingerprint = s"sfDir=$sfDir queries=" +
+      SparkEntry.queries.keys.toSeq.sorted.mkString(",").hashCode.toHexString
+    val fpPath = Paths.get(s"$outDir/.verify_fingerprint")
+    if (resume && Files.exists(fpPath)) {
+      val prior = Files.readString(fpPath)
+      require(prior == fingerprint,
+        s"[verify] resume refused: $outDir was dumped as <$prior>, this " +
+          s"run is <$fingerprint> — use a fresh outDir per build/sfDir")
+    }
+    Files.writeString(fpPath, fingerprint)
     writeOracleJson(outDir, only) // before the dumps: a gate tailing the
     // dump dir (scale rungs) needs the SQL as soon as results land
     SparkEntry.queries
@@ -44,6 +60,16 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // noCoalesce order-comparability rests on a final global Sort
+        // (range-partitioned part files read back in filename order ARE
+        // the sorted sequence) — SortTotalitySpec tolerates unsorted
+        // one-row queries, so a future unsorted MULTI-row query would
+        // dump partition-order-dependent files and fail the gate flakily.
+        // Catch it here, loudly, at dump time (r13 ADVICE).
+        if (noCoalesce && !orderComparable(df.queryExecution.analyzed))
+          System.err.println(s"[verify] WARNING $name: no final global " +
+            "Sort — parallel part files are NOT order-comparable; gate " +
+            "mismatches on this query are a dump-order artifact")
         (if (noCoalesce) df else df.coalesce(1))
           .write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
@@ -51,6 +77,20 @@ object Verify {
       }
     }
     spark.stop()
+  }
+
+  /** True when a parallel (noCoalesce) dump of this plan reads back in a
+    * deterministic order: a topmost global Sort (through the projection /
+    * limit wrappers, SortTotalitySpec's finalSort shape) or a grand
+    * aggregate (one row — nothing to order).
+    */
+  private def orderComparable(p: LogicalPlan): Boolean = p match {
+    case s: Sort if s.global => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case pr: Project => orderComparable(pr.child)
+    case l: GlobalLimit => orderComparable(l.child)
+    case l: LocalLimit => orderComparable(l.child)
+    case _ => false
   }
 
   private def writeOracleJson(outDir: String,

@@ -14,7 +14,7 @@ decimals therefore cannot prove driver-hash equality locally — the only safe
 local policy is "no decimal-typed output columns at all" (keep exact decimal
 arithmetic INTERNAL; emit BIGINT when it fits, DOUBLE or VARCHAR otherwise).
 """
-import json, math, os, sys, threading
+import atexit, glob, json, math, os, shutil, sys, threading
 import duckdb
 
 def norm(v):
@@ -68,8 +68,20 @@ def _connect(sf_dir):
     if os.environ.get("GRAFT_DUCK_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
     # per-process temp dir: two concurrent gate shards sharing one spill
-    # dir abort each other (DuckDB unlinks the whole dir's files on exit)
-    con.execute(f"SET temp_directory='/tmp/duck_gate_tmp_{os.getpid()}'")
+    # dir abort each other (DuckDB unlinks the whole dir's files on exit).
+    # A crashed/OOM-killed shard leaves multi-GB spill files behind
+    # (r13 ADVICE): remove our own dir at exit, and sweep any sibling dir
+    # whose owning pid is dead — liveness-checked so live shards are safe.
+    tmp = f"/tmp/duck_gate_tmp_{os.getpid()}"
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    for d in glob.glob("/tmp/duck_gate_tmp_*"):
+        try:
+            os.kill(int(d.rsplit("_", 1)[1]), 0)   # raises if pid is dead
+        except (ProcessLookupError, ValueError):
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass                                    # alive, different user
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS {view_select(sf_dir, t)}")

@@ -16,6 +16,10 @@ from oracle_expand import compare_with_spark
 
 def main(save_dir, out_dir, names):
     con = duckdb.connect()
+    # Per-pid spill dir (r13 ADVICE): a concurrent shard sharing DuckDB's
+    # default temp dir can be aborted when the other process exits and
+    # unlinks the spill files — same fix as check_oracle/oracle_longrun.
+    con.execute(f"SET temp_directory='/tmp/duck_expand_tmp_{os.getpid()}'")
     if os.environ.get("GRAFT_DUCK_THREADS"):
         con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
     if os.environ.get("GRAFT_DUCK_MEM"):
@@ -27,7 +31,11 @@ def main(save_dir, out_dir, names):
         saved = [q for q in saved if q in set(names)]
     ok = True
     for q in saved:
-        if not os.path.isdir(f"{out_dir}/{q}"):
+        # _SUCCESS, not isdir (r13 ADVICE): the dump dir exists as soon as
+        # Spark starts committing, so a concurrent still-running Verify
+        # would otherwise feed a partially committed dump into the compare
+        # and report a spurious FAIL (gate_waves stages on the same marker).
+        if not os.path.exists(f"{out_dir}/{q}/_SUCCESS"):
             print(f"SAVED {q} — spark dump still missing", flush=True)
             ok = False
             continue

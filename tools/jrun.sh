@@ -4,7 +4,10 @@
 # Usage: tools/jrun.sh <MainClass> [args...]   (env passes through)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CLASSES=target/scala-2.13/classes
+# GRAFT_CLASSES overrides the classes dir: long background runs (the sf30
+# Verify dump) execute off a snapshot copy so concurrent sbt compiles
+# cannot swap class files under the running JVM's lazy classloading.
+CLASSES=${GRAFT_CLASSES:-target/scala-2.13/classes}
 MAIN=$1; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \

@@ -22,8 +22,12 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 # equality of decimals cannot prove driver-hash equality (r11 q_ivf_train).
 GRAFT_ORACLE_STRICT=1 python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT"
 
-echo "== 3/4 contract bench at sf0.1 (writes BENCH_FULL.json)"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+echo "== 3/4 contract bench at sf0.1 (refreshes the committed BENCH_FULL.json)"
+# Refreshing the committed artifact is an EXPLICIT act: Bench's default
+# output is a timestamped file under target/bench/, so ad-hoc runs can
+# never clobber this one (r13 verdict #3).
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json \
+  sbt -batch "runMain graft.Bench" \
   | grep '"metric"' | sed 's/^\[info\] //'
 
 echo "== 4/4 scale-aware shuffle gates (set SCALE_DIRS to enable)"
