@@ -100,7 +100,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def connect(sf_dir):
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '8')}")
-    con.execute("SET temp_directory='/tmp/duck_expand_tmp'")
+    # default cap well under DuckDB's 80%-of-RAM: the ×300 prediction
+    # fan-outs run concurrently with the Spark dump on the same host
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '24g')}'")
+    # per-pid spill dir, matching check_oracle/expand_compare: a fixed
+    # path is unlinked wholesale when any sharing process exits
+    con.execute(f"SET temp_directory='/tmp/duck_expand_tmp_{os.getpid()}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not (os.path.isdir(p) or os.path.exists(p)):
@@ -245,9 +251,14 @@ def pagerank_expanded(pairs, b_ids, f):
 
 def compare_with_spark(con, name, out_dir, dst):
     spark_dir = f"{out_dir}/{name}"
-    if not os.path.isdir(spark_dir):
+    # _SUCCESS, not isdir: the dump dir exists as soon as Spark starts
+    # committing, so a concurrent still-running Verify would feed a
+    # partially committed dump into the compare → spurious FAIL (same
+    # r13-ADVICE fix as expand_compare / gate_waves).
+    if not os.path.exists(f"{spark_dir}/_SUCCESS"):
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
-        print(f"SAVED {name} ({n} rows) — no spark dump present", flush=True)
+        print(f"SAVED {name} ({n} rows) — no committed spark dump present",
+              flush=True)
         return True
     # lockstep CHUNKED compare (check_oracle's shape): the ×300 rung's
     # pair-family predictions run to 200M+ rows — two fetchall()s of that
