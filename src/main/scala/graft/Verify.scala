@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Offset, Project, Sort}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -90,6 +90,7 @@ object Verify {
     case pr: Project => orderComparable(pr.child)
     case l: GlobalLimit => orderComparable(l.child)
     case l: LocalLimit => orderComparable(l.child)
+    case o: Offset => orderComparable(o.child) // .offset(n).limit(k) paging
     case _ => false
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.{
-  GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  GlobalLimit, LocalLimit, LogicalPlan, Offset, Project, Sort}
 
 /** ORDER-BY-totality net — the permanent form of the ×100 sweep that
   * caught q_heat_cost and q_rating_labels in round 12 (both sorted on
@@ -41,6 +41,7 @@ class SortTotalitySpec extends SparkSpec {
     case pr: Project => finalSort(pr.child)
     case l: GlobalLimit => finalSort(l.child)
     case l: LocalLimit => finalSort(l.child)
+    case o: Offset => finalSort(o.child) // .offset(n).limit(k) paging
     case _ => None
   }
 
