@@ -93,6 +93,53 @@ PAIR_QUERIES = ["q_dedup_ngram", "q_dup_degree", "q_jaccard_hist",
 # is clone-INVARIANT by integer arithmetic (df'=f*df, n'=f*n, so
 # df'*100 > n' <=> df*100 > n) — no cap-scaling assertion needed.
 MM_QUERIES = ["q_mm_dedup", "q_mm_dedup_capped"]
+# Banded-LSH / embedding-cosine pair family (added at the x300 rung,
+# where these three blow the in-gate timeout on the ~9x pair blowup —
+# 300-clone family cliques under list_intersect / dot-product math).
+# The FULL original SQL is feasible on the base corpus, and the scaled
+# answer is its exact clone lift: minhash signatures / band keys /
+# cosine values are pure functions of the clone-invariant payload, so a
+# scaled cross pair exists iff its base pair does (identical bands <=>
+# identical base bands; cosine identical), carrying identical value
+# columns — and the clones of one row pair mutually with self-pair
+# values computed exactly as the original SQL computes them (i/i and
+# 16/16.0 are IEEE-exact 1.0 and abs(1-1)=0; the embedding self-cosine
+# dot(v,v)/(nrm*nrm) is COMPUTED per vector, not assumed 1.0, and the
+# >= 0.4 filter applied to it, excluding zero-norm vectors exactly as
+# the original pair predicate would).
+#   name -> (eligibility SQL producing (id, <value columns...>) for the
+#            family cliques, "col TYPE" defs of the value columns)
+LIFT_QUERIES = {
+    "q_dedup_minhash_pairs": (
+        """SELECT doc_id,
+                  1.0::DOUBLE AS jaccard
+           FROM documents
+           WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '')) >= 3""",
+        ["jaccard DOUBLE"]),
+    "q_minhash_calibration": (
+        """SELECT doc_id,
+                  16::BIGINT AS n_eq, 1.0::DOUBLE AS est_jaccard,
+                  1.0::DOUBLE AS jaccard, 0.0::DOUBLE AS abs_err
+           FROM documents
+           WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '')) >= 3""",
+        ["n_eq BIGINT", "est_jaccard DOUBLE", "jaccard DOUBLE",
+         "abs_err DOUBLE"]),
+    "q_dedup_embedding": (
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+           n AS (SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                 FROM e)
+           SELECT vec_id,
+             list_sum(list_transform(v, (x,i) -> x * v[i])) / (nrm*nrm)
+               AS cosine
+           FROM n
+           WHERE list_sum(list_transform(v, (x,i) -> x * v[i])) / (nrm*nrm)
+                 >= 0.4""",
+        ["cosine DOUBLE"]),
+}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -297,6 +344,63 @@ def compare_with_spark(con, name, out_dir, dst):
     return ok
 
 
+def run_lifted(con, base_dir, oracle, f, out_dir, save_dir, compare):
+    """LIFT_QUERIES: run the ORIGINAL SQL + the eligibility SQL on the
+    base corpus, lift cross pairs to all f^2 clone combinations, add the
+    per-doc f-cliques with the self-pair value columns, sort, save,
+    compare. Returns the all-ok flag."""
+    all_ok = True
+    bcon = connect(base_dir)
+    for name, (elig_sql, val_defs) in LIFT_QUERIES.items():
+        if name not in oracle:
+            continue
+        t0 = time.time()
+        rel = bcon.sql(oracle[name])
+        cols = list(rel.columns)
+        assert cols[0] == "a_id" and cols[1] == "b_id", cols
+        base_rows = rel.fetchall()
+        elig_rows = bcon.sql(elig_sql).fetchall()
+        print(f"[expand] base {name}: {len(base_rows)} pairs, "
+              f"{len(elig_rows)} eligible ({time.time()-t0:.0f}s)",
+              flush=True)
+        names = [d.split()[0] for d in val_defs]
+        defs = ", ".join(val_defs)
+        marks = ", ".join("?" * (2 + len(names)))
+        emarks = ", ".join("?" * (1 + len(names)))
+        con.execute(f"CREATE OR REPLACE TABLE lift_base "
+                    f"(a_id BIGINT, b_id BIGINT, {defs})")
+        con.executemany(f"INSERT INTO lift_base VALUES ({marks})", base_rows)
+        con.execute(f"CREATE OR REPLACE TABLE lift_elig (id BIGINT, {defs})")
+        con.executemany(f"INSERT INTO lift_elig VALUES ({emarks})", elig_rows)
+        vlist = ", ".join(f"p.{v}" for v in names)
+        evlist = ", ".join(f"e.{v}" for v in names)
+        dst = f"{save_dir}/oracle_{name}.parquet"
+        t0 = time.time()
+        con.execute(f"""COPY (
+          WITH cross_p AS (
+            SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                         p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+                   greatest(p.a_id + i.range * {KEY_OFFSET},
+                            p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+                   {vlist}
+            FROM lift_base p
+            CROSS JOIN range({f}) i CROSS JOIN range({f}) j),
+          fam AS (
+            SELECT e.id + i.range * {KEY_OFFSET} AS a_id,
+                   e.id + j.range * {KEY_OFFSET} AS b_id, {evlist}
+            FROM lift_elig e
+            CROSS JOIN range({f}) i CROSS JOIN range({f}) j
+            WHERE i.range < j.range)
+          SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM fam)
+          ORDER BY a_id, b_id) TO '{dst}' (FORMAT PARQUET)""")
+        print(f"[expand] {name} predicted in {time.time()-t0:.0f}s",
+              flush=True)
+        if compare:
+            all_ok &= compare_with_spark(con, name, out_dir, dst)
+    bcon.close()
+    return all_ok
+
+
 def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
                  compare=True):
     """Predict all 6 oracle answers on the f-expanded corpus; compare with
@@ -424,6 +528,10 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
         if compare:
             all_ok &= compare_with_spark(con, name, out_dir, dst)
 
+    # banded-LSH / embedding-cosine pair family (x300 in-gate timeouts)
+    all_ok &= run_lifted(con, base_dir, oracle, f, out_dir, save_dir,
+                         compare)
+
     # q_interval_join: the join predicate is DATE-only (shipdate within
     # [orderdate, orderdate+30d]) with no key equality, and ScaleUp never
     # mutates dates — so EVERY lineitem replica matches EVERY order
@@ -490,6 +598,12 @@ def selfcheck(base_dir, f, out_dir):
           SELECT * REPLACE (l_orderkey + i.range * {KEY_OFFSET} AS l_orderkey)
           FROM lineitem CROSS JOIN range({f}) i)
           TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)""")
+        # embeddings clone (vec_id offset) so the LIFT_QUERIES cosine
+        # law's ORIGINAL SQL runs on the clone dir too
+        con0.execute(f"""COPY (
+          SELECT * REPLACE (vec_id + i.range * {KEY_OFFSET} AS vec_id)
+          FROM embeddings CROSS JOIN range({f}) i)
+          TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)""")
         con0.close()
         # predictions land in tmp; originals computed fresh per query
         okall = run_expanded(base_dir, tmp, f, out_dir, save_dir=tmp,
@@ -498,6 +612,7 @@ def selfcheck(base_dir, f, out_dir):
         con = connect(tmp)
         ok = True
         for name in (CC_QUERIES + PAIR_QUERIES + MM_QUERIES
+                     + list(LIFT_QUERIES)
                      + ["q_dedup_ngram_fcapped", "q_pagerank",
                         "q_interval_join"]):
             t0 = time.time()
@@ -520,5 +635,15 @@ if __name__ == "__main__":
     if args and args[0] == "--selfcheck":
         f, base_dir, out_dir = int(args[1]), args[2], args[3]
         sys.exit(0 if selfcheck(base_dir, f, out_dir) else 1)
+    if args and args[0] == "--lift":
+        # LIFT_QUERIES only — reruns of the banded-LSH/cosine family
+        # without redoing the (expensive, already-compared) CC/pair/mm
+        # predictions: oracle_expand.py --lift <base> <scaled> <f> <out>
+        base_dir, scaled_dir, f, out_dir = (
+            args[1], args[2], int(args[3]), args[4])
+        con = connect(scaled_dir)
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        sys.exit(0 if run_lifted(con, base_dir, oracle, f, out_dir,
+                                 out_dir, True) else 1)
     base_dir, scaled_dir, f, out_dir = args[0], args[1], int(args[2]), args[3]
     sys.exit(0 if run_expanded(base_dir, scaled_dir, f, out_dir) else 1)
