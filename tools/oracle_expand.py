@@ -44,7 +44,7 @@ Usage:
 are compared when present, else the oracle result is saved for later.
 Developer tooling only — the engine itself is the Scala library.
 """
-import json, os, shutil, sys, tempfile, time
+import atexit, json, os, shutil, sys, tempfile, time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -127,19 +127,42 @@ LIFT_QUERIES = {
         ["n_eq BIGINT", "est_jaccard DOUBLE", "jaccard DOUBLE",
          "abs_err DOUBLE"]),
     "q_dedup_embedding": (
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        # label IS NOT NULL mirrors the oracle's a.label = b.label join
+        # predicate: a NULL-label vector never pairs (NULL = NULL is not
+        # true), so its clones must not receive family self-pairs either
+        # (Dedup.scala:1367-1373 pins that semantics must not depend on
+        # the current corpus having no NULL labels).
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                       FROM embeddings),
-           n AS (SELECT vec_id, v,
+           n AS (SELECT vec_id, label, v,
                    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
                  FROM e)
            SELECT vec_id,
              list_sum(list_transform(v, (x,i) -> x * v[i])) / (nrm*nrm)
                AS cosine
            FROM n
-           WHERE list_sum(list_transform(v, (x,i) -> x * v[i])) / (nrm*nrm)
+           WHERE label IS NOT NULL
+             AND list_sum(list_transform(v, (x,i) -> x * v[i])) / (nrm*nrm)
                  >= 0.4""",
         ["cosine DOUBLE"]),
 }
+# q_minhash_sweep: the per-threshold confusion-matrix AGGREGATE over the
+# same banded-LSH candidate multiset (`cal`) whose pair-level lift is the
+# validated q_minhash_calibration law above. Counts are additive over the
+# lifted multiset: every base cal pair contributes f^2 copies with
+# IDENTICAL (est_jaccard, jaccard) — so its tp/fp/fn classification at
+# every threshold is unchanged — and every eligible doc (>= 3 tokens,
+# i.e. len(hs) > 0, so the self-pair has u = len(hs) > 0) contributes
+# f(f-1)/2 clique self-pairs at est = 16/16.0 and jac = i/i, both
+# IEEE-exact 1.0 >= t for all three thresholds — always a tp. Hence
+#   tp_f(t) = f^2 * tp_b(t) + E * f(f-1)/2,  fp_f = f^2 * fp_b,
+#   fn_f = f^2 * fn_b,
+# with prec/rec recomputed by the oracle's own round(.., 6)/nullif
+# expressions over the lifted counts.
+SWEEP_QUERY = "q_minhash_sweep"
+SWEEP_ELIG_COUNT = """SELECT count(*) FROM documents
+    WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          x -> x <> '')) >= 3"""
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -401,6 +424,39 @@ def run_lifted(con, base_dir, oracle, f, out_dir, save_dir, compare):
     return all_ok
 
 
+def run_sweep(con, base_dir, oracle, f, out_dir, save_dir, compare):
+    """q_minhash_sweep count lift (see SWEEP_QUERY comment). The base
+    sweep (the full original aggregate, ~10s at sf0.1) and the eligible-doc
+    count run on the base corpus; the lifted counts and the re-derived
+    prec/rec are computed in DuckDB with the oracle's own round/nullif."""
+    if SWEEP_QUERY not in oracle:
+        return True
+    bcon = connect(base_dir)
+    t0 = time.time()
+    base = bcon.sql(oracle[SWEEP_QUERY]).fetchall()  # t, tp, fp, fn, prec, rec
+    n_elig = bcon.sql(SWEEP_ELIG_COUNT).fetchone()[0]
+    bcon.close()
+    print(f"[expand] base {SWEEP_QUERY}: {len(base)} thresholds, "
+          f"{n_elig} eligible ({time.time()-t0:.0f}s)", flush=True)
+    con.execute("CREATE OR REPLACE TABLE sweep_base "
+                "(t DOUBLE, tp BIGINT, fp BIGINT, fn BIGINT)")
+    con.executemany("INSERT INTO sweep_base VALUES (?, ?, ?, ?)",
+                    [(r[0], r[1], r[2], r[3]) for r in base])
+    clique = f * (f - 1) // 2
+    dst = f"{save_dir}/oracle_{SWEEP_QUERY}.parquet"
+    con.execute(f"""COPY (
+      SELECT t, tp, fp, fn,
+        round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS prec,
+        round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS rec
+      FROM (SELECT t, tp * {f} * {f} + {n_elig} * {clique} AS tp,
+                   fp * {f} * {f} AS fp, fn * {f} * {f} AS fn
+            FROM sweep_base)
+      ORDER BY t) TO '{dst}' (FORMAT PARQUET)""")
+    if compare:
+        return compare_with_spark(con, SWEEP_QUERY, out_dir, dst)
+    return True
+
+
 def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
                  compare=True):
     """Predict all 6 oracle answers on the f-expanded corpus; compare with
@@ -532,6 +588,10 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
     all_ok &= run_lifted(con, base_dir, oracle, f, out_dir, save_dir,
                          compare)
 
+    # minhash-sweep confusion-matrix count lift (x300 in-gate timeout)
+    all_ok &= run_sweep(con, base_dir, oracle, f, out_dir, save_dir,
+                        compare)
+
     # q_interval_join: the join predicate is DATE-only (shipdate within
     # [orderdate, orderdate+30d]) with no key equality, and ScaleUp never
     # mutates dates — so EVERY lineitem replica matches EVERY order
@@ -612,7 +672,7 @@ def selfcheck(base_dir, f, out_dir):
         con = connect(tmp)
         ok = True
         for name in (CC_QUERIES + PAIR_QUERIES + MM_QUERIES
-                     + list(LIFT_QUERIES)
+                     + list(LIFT_QUERIES) + [SWEEP_QUERY]
                      + ["q_dedup_ngram_fcapped", "q_pagerank",
                         "q_interval_join"]):
             t0 = time.time()
@@ -630,8 +690,53 @@ def selfcheck(base_dir, f, out_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def sweep_selfcheck(base_dir, f, out_dir):
+    """Validate the sweep count lift with DuckDB alone, cheaply (documents
+    clone only — no CC/pagerank recomputation, which OOMs at x3): run the
+    ORIGINAL sweep aggregate on an x f clone dir and compare with the
+    count-lift prediction."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    tmp = tempfile.mkdtemp(prefix="graft-sweepcheck-")
+    try:
+        con0 = connect(base_dir)
+        con0.execute(f"""COPY (
+          SELECT * REPLACE (doc_id + i.range * {KEY_OFFSET} AS doc_id)
+          FROM documents CROSS JOIN range({f}) i)
+          TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+        con0.close()
+        con = connect(tmp)
+        ok = run_sweep(con, base_dir, oracle, f, out_dir, tmp, compare=False)
+        assert ok
+        t0 = time.time()
+        want = con.sql(oracle[SWEEP_QUERY]).fetchall()  # ORIGINAL aggregate
+        got = con.sql(
+            f"SELECT * FROM '{tmp}/oracle_{SWEEP_QUERY}.parquet'").fetchall()
+        same, why = rows_match(got, want)
+        print(f"{'ok  ' if same else 'FAIL'} selfcheck {SWEEP_QUERY} "
+              f"({len(want)} rows, original {time.time()-t0:.0f}s)"
+              + ("" if same else f": {why}"), flush=True)
+        con.close()
+        return same
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
+    # crashed/killed runs must not leak the multi-GB per-pid spill dir
+    # (r14 ADVICE): mirror check_oracle's atexit reclaim.
+    atexit.register(shutil.rmtree, f"/tmp/duck_expand_tmp_{os.getpid()}",
+                    True)
+    if args and args[0] == "--sweep-selfcheck":
+        f, base_dir, out_dir = int(args[1]), args[2], args[3]
+        sys.exit(0 if sweep_selfcheck(base_dir, f, out_dir) else 1)
+    if args and args[0] == "--sweep":
+        base_dir, scaled_dir, f, out_dir = (
+            args[1], args[2], int(args[3]), args[4])
+        con = connect(scaled_dir)
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        sys.exit(0 if run_sweep(con, base_dir, oracle, f, out_dir,
+                                out_dir, True) else 1)
     if args and args[0] == "--selfcheck":
         f, base_dir, out_dir = int(args[1]), args[2], args[3]
         sys.exit(0 if selfcheck(base_dir, f, out_dir) else 1)
