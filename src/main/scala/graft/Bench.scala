@@ -150,8 +150,12 @@ object Bench {
     }
     // Anchors AFTER the query passes: the JVM is maximally warm, so the
     // anchor measures the box, not residual JIT. (Cold mode still anchors
-    // warm — best-of-3 makes rep 1 the JIT payer either way.)
-    val (anchorCpuSec, anchorCpuMs, anchorScanSec, anchorScanMs) = anchors()
+    // warm — best-of-3 makes rep 1 the JIT payer either way.) Skipped on
+    // focused SPARK_GRAFT_ONLY iterations (r14 ADVICE): the six fixed
+    // anchor workloads add tens of seconds to a loop whose full JSON —
+    // the only place anchors are recorded — is never written.
+    val (anchorCpuSec, anchorCpuMs, anchorScanSec, anchorScanMs) =
+      if (only.nonEmpty) (-1.0, -1L, -1.0, -1L) else anchors()
     // Double.toString is locale-independent (an f"%.3f" would not be).
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // Failed queries are reported by NAME and excluded from every map and

@@ -45,6 +45,16 @@ object Verify {
       require(prior == fingerprint,
         s"[verify] resume refused: $outDir was dumped as <$prior>, this " +
           s"run is <$fingerprint> — use a fresh outDir per build/sfDir")
+    } else if (!resume && Files.exists(fpPath)
+               && Files.readString(fpPath) != fingerprint) {
+      // Non-resume run into an outDir dumped under a DIFFERENT identity:
+      // stamping the new fingerprint over stale _SUCCESS dirs would let an
+      // interrupted run + later RESUME=1 silently validate the stale
+      // dumps (r14 ADVICE) — strip the markers first so only queries this
+      // run actually re-dumps can ever be resumed.
+      SparkEntry.queries.keys.foreach { name =>
+        Files.deleteIfExists(Paths.get(s"$outDir/$name/_SUCCESS"))
+      }
     }
     Files.writeString(fpPath, fingerprint)
     writeOracleJson(outDir, only) // before the dumps: a gate tailing the

@@ -74,13 +74,31 @@ def _connect(sf_dir):
     # whose owning pid is dead — liveness-checked so live shards are safe.
     tmp = f"/tmp/duck_gate_tmp_{os.getpid()}"
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    for d in glob.glob("/tmp/duck_gate_tmp_*"):
+    # Sweep covers the expand/compare spill dirs too (they register the
+    # same atexit but an OOM-kill skips atexit — r14 ADVICE). Non-integer
+    # suffixes are SKIPPED, not deleted (they are not ours to reclaim),
+    # and a dir whose pid reads alive but is >1 day stale is reclaimed
+    # anyway — a recycled PID otherwise pins a dead shard's spill forever.
+    import time as _time
+    for d in (glob.glob("/tmp/duck_gate_tmp_*")
+              + glob.glob("/tmp/duck_expand_tmp_*")):
         try:
-            os.kill(int(d.rsplit("_", 1)[1]), 0)   # raises if pid is dead
-        except (ProcessLookupError, ValueError):
-            shutil.rmtree(d, ignore_errors=True)
+            pid = int(d.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)                        # raises if pid is dead
+            alive = True
+        except ProcessLookupError:
+            alive = False
         except PermissionError:
-            pass                                    # alive, different user
+            alive = True                           # alive, different user
+        try:
+            stale = _time.time() - os.path.getmtime(d) > 86400
+        except OSError:
+            continue                               # vanished concurrently
+        if not alive or stale:
+            shutil.rmtree(d, ignore_errors=True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
