@@ -127,6 +127,19 @@ object StreamBench {
     val spark = GraftSession.build("graft-streambench")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // SPARK_GRAFT_STREAM_STATE_PROVIDER=rocksdb : A/B the state-store
+    // backend against the default HDFS-backed in-memory provider. The
+    // provider is pinned into each query's NEW checkpoint at first batch,
+    // so setting it session-wide here covers every stream below (each run
+    // creates a fresh checkpoint dir).
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").foreach {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      case other => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", other)
+    }
 
     // Per-stream state-partition sizing (pinned into each query's
     // checkpoint at its first batch): a stateful operator pays a state

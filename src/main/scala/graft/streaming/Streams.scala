@@ -545,13 +545,18 @@ object Streams {
   final case class SemArrival(vec_id: Long, cid: Long, qv: Seq[Long])
   final case class SemVerdict(vec_id: Long, cid: Long, status: String)
   /** Per-cell delegate store: one entry per DISTINCT quantized vector
-    * seen, capped — mids/qvs/qns are parallel (columnar keeps the state
-    * row a flat product encoder, no nested-case-class plumbing).
-    * maxSeen tracks the highest vec_id the cell has processed across
-    * batches, making the parity precondition (globally ascending
-    * arrival) observable at runtime instead of only assumed.
+    * seen, capped — mids/qns are parallel with the ROWS of qvsFlat, the
+    * delegate vectors packed row-major into ONE primitive long array
+    * (row i = qvsFlat[i*dim, (i+1)*dim), dim = qvsFlat.length / mids
+    * .size). Flat-primitive beats the earlier Seq[Seq[Long]] twice over:
+    * the encoder writes one UnsafeArrayData instead of re-boxing ~cap*dim
+    * longs through a nested traversal on EVERY state commit (r15 profile:
+    * ~500 ms/batch at 500 delegates), and the per-arrival scan runs on
+    * primitive rows. maxSeen tracks the highest vec_id the cell has
+    * processed across batches, making the parity precondition (globally
+    * ascending arrival) observable at runtime instead of only assumed.
     */
-  final case class SemCellState(mids: Seq[Long], qvs: Seq[Seq[Long]],
+  final case class SemCellState(mids: Seq[Long], qvsFlat: Array[Long],
       qns: Seq[Double], maxSeen: Long = Long.MinValue)
 
   /** Arrivals whose vec_id regressed below their cell's max-seen — the
@@ -614,11 +619,23 @@ object Streams {
       .groupByKey(_.cid)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cid: Long, it: Iterator[SemArrival], state: GroupState[SemCellState]) =>
-          val st = state.getOption.getOrElse(SemCellState(Nil, Nil, Nil))
+          val st = state.getOption
+            .getOrElse(SemCellState(Nil, Array.emptyLongArray, Nil))
+          val arrivals = it.toSeq.sortBy(_.vec_id)
           val mids = st.mids.toBuffer
-          val qvs = st.qvs.toBuffer
           val qns = st.qns.toBuffer
-          def dot(a: Seq[Long], b: Seq[Long]): Long = {
+          // quantized dim is constant per model; recover it from the flat
+          // state (or the first arrival when the cell is fresh)
+          val dim = if (mids.nonEmpty) st.qvsFlat.length / mids.size
+                    else arrivals.headOption.map(_.qv.length).getOrElse(0)
+          // unpack once per BATCH into primitive rows: the hot scan below
+          // is O(delegates * dim) per arrival, and boxed Seq[Seq[Long]]
+          // rows cost ~2-3 ms/arrival at 500 delegates (r15 profile)
+          val rows = scala.collection.mutable.ArrayBuffer.tabulate(
+            mids.size) { i =>
+            java.util.Arrays.copyOfRange(st.qvsFlat, i * dim, (i + 1) * dim)
+          }
+          def dot(a: Array[Long], b: Array[Long]): Long = {
             var s = 0L; var i = 0
             while (i < a.length) { s += a(i) * b(i); i += 1 }; s
           }
@@ -630,23 +647,24 @@ object Streams {
           // regressions (this batch's ids dipping below a prior batch's
           // max) break that invariant — count + warn, don't silently
           // produce first-arrival-wins verdicts.
-          it.toSeq.sortBy(_.vec_id).foreach { a =>
+          arrivals.foreach { a =>
             if (a.vec_id < maxSeen) cellOoo += 1 else maxSeen = a.vec_id
-            val qn = math.sqrt(dot(a.qv, a.qv).toDouble)
-            val exact = qvs.indexWhere(_ == a.qv)
+            val qv = a.qv.toArray
+            val qn = math.sqrt(dot(qv, qv).toDouble)
+            val exact = rows.indexWhere(java.util.Arrays.equals(_, qv))
             val dropped =
               if (exact >= 0) true // its group minimum is stored: cosine 1.0
-              else qvs.indices.exists { i =>
+              else rows.indices.exists { i =>
                 // same arithmetic as the batch pairs frame: exact integer
                 // dot, double division (zero norms never occur post-quant,
                 // but mirror try_divide: a 0-denominator never drops)
                 val den = qns(i) * qn
-                den != 0.0 && dot(qvs(i), a.qv).toDouble / den >= threshold
+                den != 0.0 && dot(rows(i), qv).toDouble / den >= threshold
               }
             out += SemVerdict(a.vec_id, cid,
               if (dropped) "dropped" else "kept")
             if (exact < 0 && mids.size < cap) {
-              mids += a.vec_id; qvs += a.qv; qns += qn
+              mids += a.vec_id; rows += qv; qns += qn
             }
           }
           if (cellOoo > 0) {
@@ -655,7 +673,10 @@ object Streams {
               "arrival(s) below the cell's max-seen vec_id — batch-parity " +
               "precondition violated; verdicts are first-arrival-wins here")
           }
-          state.update(SemCellState(mids.toSeq, qvs.toSeq, qns.toSeq, maxSeen))
+          val flat = new Array[Long](rows.length * dim)
+          var ri = 0
+          rows.foreach { r => System.arraycopy(r, 0, flat, ri, dim); ri += dim }
+          state.update(SemCellState(mids.toSeq, flat, qns.toSeq, maxSeen))
           out.result().iterator
       }
   }
