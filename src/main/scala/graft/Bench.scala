@@ -52,19 +52,28 @@ object Bench {
     // drained on both sides so the delta is that run's and only that run's.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
+    // spill counters (r13 verdict #5 / r14 #6): disk+memory bytes spilled
+    // across all tasks — the constrained-memory rung's primary evidence
+    // (a query that passes at 8g by spilling 40 GB is a different answer
+    // than one that never spills).
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
           cpuNs.addAndGet(m.executorCpuTime)
           gcMs.addAndGet(m.jvmGCTime)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          spillMem.addAndGet(m.memoryBytesSpilled)
         }
       }
     })
-    // wall sec (-1 on failure), executor CPU ms, GC ms for one execution.
-    def metered(name: String)(run: => Unit): (Double, Long, Long) = {
+    // wall sec (-1 on failure), executor CPU ms, GC ms, disk-spill bytes,
+    // memory-spill bytes for one execution.
+    def metered(name: String)(run: => Unit): (Double, Long, Long, Long, Long) = {
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      val (c0, g0) = (cpuNs.get, gcMs.get)
+      val (c0, g0, sd0, sm0) = (cpuNs.get, gcMs.get, spillDisk.get, spillMem.get)
       val t0 = System.nanoTime()
       val wall = try { run; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
@@ -72,9 +81,10 @@ object Bench {
         -1.0
       }
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      (wall, (cpuNs.get - c0) / 1000000L, gcMs.get - g0)
+      (wall, (cpuNs.get - c0) / 1000000L, gcMs.get - g0,
+        spillDisk.get - sd0, spillMem.get - sm0)
     }
-    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) =
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long, Long, Long) =
       metered(name) {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
@@ -106,7 +116,7 @@ object Bench {
       }
       val cpu = (1 to 3).map(_ => cpuRun()).filter(_._1 >= 0)
       val scan = (1 to 3).map(_ => scanRun()).filter(_._1 >= 0)
-      def best(xs: Seq[(Double, Long, Long)]): (Double, Long) =
+      def best(xs: Seq[(Double, Long, Long, Long, Long)]): (Double, Long) =
         if (xs.isEmpty) (-1.0, -1L) else { val b = xs.minBy(_._1); (b._1, b._2) }
       val (cw, cc) = best(cpu); val (sw, sc) = best(scan)
       (cw, cc, sw, sc)
@@ -168,6 +178,8 @@ object Bench {
     val total = okResults.map(_._2._1).sum
     val cpuTotalMs = okResults.map(_._2._2).sum
     val gcTotalMs = okResults.map(_._2._3).sum
+    val spillDiskTotal = okResults.map(_._2._4).sum
+    val spillMemTotal = okResults.map(_._2._5).sum
     // Two renderings: the full file keeps the anchor dir + anchor CPU-ms;
     // the stdout line (hard ~2000-char driver capture budget, r13 measured
     // 1631 used) carries only the two anchor walls.
@@ -185,6 +197,10 @@ object Bench {
         .mkString("{", ",", "}")
       val gcQs = okResults.map { case (k, v) => "\"" + k + "\":" + v._3 }
         .mkString("{", ",", "}")
+      // per-query DISK spill bytes (memory spill rides in the totals only:
+      // it counts the pre-serialization in-memory size, a looser number)
+      val spillQs = okResults.map { case (k, v) => "\"" + k + "\":" + v._4 }
+        .mkString("{", ",", "}")
       // cache_warm: per-shared-frame scan seconds measured at the cache
       // barrier (post-build, pre-timing) — near-zero values are the proof
       // the timed passes never paid a shared build. Keys are truncated to
@@ -200,7 +216,7 @@ object Bench {
       val cacheBytesQs = cacheBytes.map { case (k, b) =>
         "\"" + k.takeWhile(_ != ':') + "\":" + b
       }.mkString("{", ",", "}")
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorJson,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"queries":$fullQs,"cpu_ms":$cpuQs,"gc_ms":$gcQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorJson,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"spill_disk_total":$spillDiskTotal,"spill_mem_total":$spillMemTotal,"queries":$fullQs,"cpu_ms":$cpuQs,"gc_ms":$gcQs,"spill_disk":$spillQs,"cache_warm":$cacheQs,"cache_bytes":$cacheBytesQs,"cache_bytes_total":${cacheBytes.map(_._2).sum},"sf":"$sfDir"}"""
       // SPARK_GRAFT_BENCH_OUT pins the output path (the contract refresh
       // in round_end.sh sets BENCH_FULL.json explicitly; scale-stress runs
       // set bench/BENCH_sfN.json). Unset = a timestamped file under
@@ -225,7 +241,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v._1) }.mkString("{", ",", "}")
     val sortedVec = okResults.sortBy(_._1)
       .map { case (_, v) => f3(v._1) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorBrief,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${okResults.size} ok times asc by name, 3dp; full map + per-query cpu/gc in the target/bench file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorBrief,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"spill_disk_total":$spillDiskTotal,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${okResults.size} ok times asc by name, 3dp; full map + per-query cpu/gc in the target/bench file","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,48 @@ object ScaleUp {
 
   private val dims = Seq("region", "nation")
 
+  /** SCALEUP_ZIPF=1: Zipf-skewed clone multiplicity for the three
+    * self-contained tables (documents / embeddings / events-by-USER) —
+    * entity at rank r (ascending key) gets m(r) = clamp(round(A/r), 1,
+    * cap) clones, A solved so Σ m(r) ≈ factor·N (same total rows as the
+    * uniform rung, same key algebra: replica i shifts keys by
+    * i·KeyOffset). This produces the one 100 TB failure mode uniform
+    * clones cannot: a few entities at cap-multiplicity (huge dup
+    * families, hot user keys) and a long tail at multiplicity 1 —
+    * stressing delegate collapse, df-caps and salted joins under real
+    * skew. TPC-H fact tables stay uniform ×factor even under ZIPF: their
+    * FK web (lineitem → orders/part/supplier) needs replica i of every
+    * referenced dim to exist, which only uniform multiplicity guarantees.
+    * cap defaults to 10·factor (SCALEUP_ZIPF_CAP overrides): deep enough
+    * for genuine skew, bounded so the clone-family pair blowup (C(m,2)
+    * per family) stays polynomially sane for the dedup tier.
+    */
+  private val zipfEntity: Map[String, String] = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "user_id")
+
+  /** Solve A so Σ_{r=1..n} clamp(round(A/r), 1, cap) ≈ factor·n (binary
+    * search on the driver — n is an entity count, ≤ ~1e6 at base sf). */
+  private[graft] def solveZipfA(n: Long, factor: Int, cap: Int): Double = {
+    def total(a: Double): Long = {
+      var s = 0L; var r = 1L
+      while (r <= n) {
+        s += math.min(cap.toLong, math.max(1L, math.round(a / r))); r += 1
+      }
+      s
+    }
+    val want = factor.toLong * n
+    var lo = 1.0
+    var hi = cap.toDouble * n
+    var i = 0
+    while (i < 60 && hi - lo > 1e-6 * hi) {
+      val mid = (lo + hi) / 2
+      if (total(mid) < want) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
     val Array(inDir, outDir, factorS) = args
@@ -74,7 +116,39 @@ object ScaleUp {
           s"ScaleUp: $t.$k max key $m >= KeyOffset $KeyOffset — replica " +
             "ranges would collide; raise KeyOffset or shrink the base")
       }
-      val replicated = (0 until factor).map { i =>
+      val zipf = sys.env.get("SCALEUP_ZIPF").exists(_ == "1") &&
+        zipfEntity.contains(t)
+      val replicated = if (zipf) {
+        val entity = zipfEntity(t)
+        val cap = sys.env.get("SCALEUP_ZIPF_CAP").map(_.toInt)
+          .getOrElse(10 * factor)
+        val n = base.select(entity).distinct().count()
+        val a = solveZipfA(n, factor, cap)
+        // rank entities by ascending key (deterministic), look up each
+        // row's multiplicity via a broadcast join, explode replica index.
+        // The global row_number window runs over ENTITIES (≤ ~1e6 at the
+        // base sf this generator reads), not rows — fine for a generator.
+        import org.apache.spark.sql.expressions.Window
+        val mult = base.select(col(entity)).distinct()
+          .withColumn("__rank", row_number().over(Window.orderBy(col(entity))))
+          .withColumn("__m", least(greatest(
+            round(lit(a) / col("__rank")), lit(1L)), lit(cap.toLong))
+            .cast("int"))
+          .select(col(entity), col("__m"))
+        val got = mult.agg(sum("__m")).head().getLong(0)
+        System.err.println(s"[scaleup] $t zipf: $n entities, A=${a.round}, " +
+          s"cap=$cap, total multiplicity $got (uniform target ${factor * n})")
+        base.join(broadcast(mult), Seq(entity))
+          .withColumn("__i",
+            explode(sequence(lit(0), col("__m") - 1)))
+          .transform { df =>
+            keys.foldLeft(df) { (d, k) =>
+              d.withColumn(k, col(k) + col("__i").cast("long") * lit(KeyOffset))
+            }
+          }
+          .drop("__i", "__m")
+          .select(base.columns.map(col): _*) // original column order
+      } else (0 until factor).map { i =>
         keys.foldLeft(base) { (df, k) =>
           // `+ lit(long)` keeps the column's LongType; dims' INTEGER
           // nation keys are never offset so no widening anywhere

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Zipf rung's multiplicity solver: Σ m(r) must land on the uniform
+  * rung's total (±1%) so zipf and uniform benches compare like-for-like,
+  * while the head sits at cap and the tail at 1 — the skew shape itself.
+  */
+class ScaleUpZipfSpec extends AnyFunSuite {
+  private def mult(a: Double, r: Long, cap: Int): Long =
+    math.min(cap.toLong, math.max(1L, math.round(a / r)))
+
+  private def total(a: Double, n: Long, cap: Int): Long =
+    (1L to n).map(mult(a, _, cap)).sum
+
+  test("solved A reproduces the uniform total within 1% across shapes") {
+    for ((n, factor) <- Seq((5000L, 100), (2000L, 100), (15000L, 10),
+                            (500L, 3), (1000000L, 10))) {
+      val cap = 10 * factor
+      val a = ScaleUp.solveZipfA(n, factor, cap)
+      val got = total(a, n, cap)
+      val want = factor.toLong * n
+      assert(math.abs(got - want) <= want / 100,
+        s"n=$n factor=$factor: got $got want $want")
+    }
+  }
+
+  test("multiplicity is capped at the head, skewed, monotone") {
+    val (n, factor) = (5000L, 100)
+    val cap = 10 * factor
+    val a = ScaleUp.solveZipfA(n, factor, cap)
+    assert(mult(a, 1, cap) == cap.toLong)   // head pinned to cap
+    assert(mult(a, n, cap) >= 1L)           // floor holds
+    // genuine skew, not uniform-in-disguise: head ≥ 20x the tail. (With
+    // Σm pinned to factor·n and s=1, the tail CANNOT sit at 1 for this
+    // shape — zipf mass is log-spread, so matching the uniform total
+    // lifts the tail to ~A/n; here cap/tail = 1000/20 = 50x.)
+    assert(mult(a, 1, cap) >= 20L * mult(a, n, cap))
+    val ms = (1L to n).map(mult(a, _, cap))
+    assert(ms.zip(ms.tail).forall { case (x, y) => x >= y }) // monotone
+  }
+}

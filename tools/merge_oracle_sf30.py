@@ -18,7 +18,7 @@ D = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 GATE_LOGS = sorted(glob.glob(os.path.join(D, "gate_sf30*gate_log*.txt")))
 LAW_LOGS = [os.path.join(D, f) for f in
             ("expand_sf30.log", "expand_compare_sf30.log", "lift_sf30.log",
-             "sweep_sf30.log")]
+             "sweep_sf30.log", "textlift_sf30.log")]
 LONG_LOGS = sorted(glob.glob(os.path.join(D, "longrun*.log")))
 oracle = json.load(open(os.path.join(D, "oracle_sql.json")))
 

@@ -163,6 +163,44 @@ SWEEP_QUERY = "q_minhash_sweep"
 SWEEP_ELIG_COUNT = """SELECT count(*) FROM documents
     WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                           x -> x <> '')) >= 3"""
+# Text/vocab aggregate clone lifts (the ×300 rung's last in-gate holdouts:
+# their token explosions put DuckDB's direct run at 450M+ intermediate
+# rows under a shared-host memory cap). Each law is exact under the clone
+# algebra and runs entirely on the BASE corpus:
+#  - per-DOC queries (quality, repetition): every metric is a pure
+#    function of the clone-invariant text, so the scaled answer is the
+#    base answer fanned out f ways under doc_id + i*K, re-sorted.
+#  - q_tfidf_terms groups by SOURCE, which ScaleUp never mutates: at xf,
+#    tf' = f*tf while df (distinct sources per token) and ns are
+#    UNCHANGED, so the scaled answer is the original SQL with its tf CTE
+#    scaled by f — ranks can't flip (all scores scale uniformly,
+#    tie-break is tok ASC).
+#  - q_vocab_zipf: global counts scale to f*cnt, total to f*total, ranks
+#    and ties unchanged (uniform scaling, tok ASC tie-break); share
+#    (f*cnt)/(f*total) equals the base ratio within float tolerance.
+#  - q_vocab_growth buckets each token's FIRST doc_id into deciles of
+#    [0, max(doc_id)]: clones only add HIGHER ids (replica 0 keeps base
+#    ids), so first_doc stays the base minimum while mx' = mx +
+#    (f-1)*K — the original SQL with the scaled mx substituted. (At x300
+#    every base id sits in decile 0 of the 3e9-wide id range: the
+#    position-based growth curve degenerates under clone scaling — an
+#    artifact of the corpus, reproduced identically by both engines.)
+#   name -> (marker that must appear verbatim in the oracle SQL,
+#            replacement template with {f}/{mxs} slots, fanout flag)
+TEXT_LIFTS = {
+    "q_text_quality": (None, None, True),
+    "q_text_repetition": (None, None, True),
+    "q_tfidf_terms": (
+        "tf AS (SELECT source, tok, count(*) AS tf FROM ct GROUP BY 1, 2)",
+        "tf AS (SELECT source, tok, count(*) * {f} AS tf FROM ct "
+        "GROUP BY 1, 2)", False),
+    "q_vocab_zipf": (
+        "c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1)",
+        "c AS (SELECT tok, count(*) * {f} AS cnt FROM e GROUP BY 1)", False),
+    "q_vocab_growth": (
+        "nd AS (SELECT max(doc_id) AS mx FROM e)",
+        "nd AS (SELECT CAST({mxs} AS BIGINT) AS mx FROM (SELECT 1))", False),
+}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -457,6 +495,48 @@ def run_sweep(con, base_dir, oracle, f, out_dir, save_dir, compare):
     return True
 
 
+def run_text_lifts(con, base_dir, oracle, f, out_dir, save_dir, compare):
+    """TEXT_LIFTS (see comment at the table): per-doc fan-outs and
+    count-scaled rewrites, all computed on the base corpus."""
+    all_ok = True
+    bcon = connect(base_dir)
+    for name, (marker, repl, fanout) in TEXT_LIFTS.items():
+        if name not in oracle:
+            continue
+        sql = oracle[name]
+        dst = f"{save_dir}/oracle_{name}.parquet"
+        t0 = time.time()
+        if fanout:
+            base_pq = f"{save_dir}/base_{name}.parquet"
+            bcon.execute(f"COPY ({sql}) TO '{base_pq}' (FORMAT PARQUET)")
+            cols = [r[0] for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{base_pq}'").fetchall()]
+            assert cols[0] == "doc_id", f"{name}: lead col {cols[0]}"
+            rest = ", ".join(f'b."{c}"' for c in cols[1:])
+            con.execute(f"""COPY (
+              SELECT b.doc_id + i.range * {KEY_OFFSET} AS doc_id, {rest}
+              FROM '{base_pq}' b CROSS JOIN range({f}) i
+              ORDER BY doc_id) TO '{dst}' (FORMAT PARQUET)""")
+        else:
+            assert marker in sql, f"{name} oracle shape drifted"
+            if name == "q_vocab_growth":
+                i = sql.find(",\nnd AS")
+                assert i > 0, "vocab_growth nd CTE not found"
+                mx = bcon.sql(sql[:i] + "\nSELECT max(doc_id) AS mx FROM e"
+                              ).fetchone()[0]
+                new_sql = sql.replace(
+                    marker, repl.format(mxs=mx + (f - 1) * KEY_OFFSET))
+            else:
+                new_sql = sql.replace(marker, repl.format(f=f))
+            bcon.execute(f"COPY ({new_sql}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"[expand] {name} predicted in {time.time()-t0:.0f}s",
+              flush=True)
+        if compare:
+            all_ok &= compare_with_spark(con, name, out_dir, dst)
+    bcon.close()
+    return all_ok
+
+
 def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
                  compare=True):
     """Predict all 6 oracle answers on the f-expanded corpus; compare with
@@ -592,6 +672,10 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
     all_ok &= run_sweep(con, base_dir, oracle, f, out_dir, save_dir,
                         compare)
 
+    # text/vocab aggregate lifts (x300 in-gate memory holdouts)
+    all_ok &= run_text_lifts(con, base_dir, oracle, f, out_dir, save_dir,
+                             compare)
+
     # q_interval_join: the join predicate is DATE-only (shipdate within
     # [orderdate, orderdate+30d]) with no key equality, and ScaleUp never
     # mutates dates — so EVERY lineitem replica matches EVERY order
@@ -673,6 +757,7 @@ def selfcheck(base_dir, f, out_dir):
         ok = True
         for name in (CC_QUERIES + PAIR_QUERIES + MM_QUERIES
                      + list(LIFT_QUERIES) + [SWEEP_QUERY]
+                     + list(TEXT_LIFTS)
                      + ["q_dedup_ngram_fcapped", "q_pagerank",
                         "q_interval_join"]):
             t0 = time.time()
@@ -690,13 +775,12 @@ def selfcheck(base_dir, f, out_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def sweep_selfcheck(base_dir, f, out_dir):
-    """Validate the sweep count lift with DuckDB alone, cheaply (documents
-    clone only — no CC/pagerank recomputation, which OOMs at x3): run the
-    ORIGINAL sweep aggregate on an x f clone dir and compare with the
-    count-lift prediction."""
+def _docs_clone_selfcheck(base_dir, f, out_dir, names, predict):
+    """Shared cheap selfcheck harness: clone documents x f under the
+    ScaleUp key rule, run `predict` (writes oracle_<name>.parquet under
+    tmp), then run each ORIGINAL SQL on the clone dir and compare."""
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    tmp = tempfile.mkdtemp(prefix="graft-sweepcheck-")
+    tmp = tempfile.mkdtemp(prefix="graft-expcheck-")
     try:
         con0 = connect(base_dir)
         con0.execute(f"""COPY (
@@ -705,20 +789,39 @@ def sweep_selfcheck(base_dir, f, out_dir):
           TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
         con0.close()
         con = connect(tmp)
-        ok = run_sweep(con, base_dir, oracle, f, out_dir, tmp, compare=False)
-        assert ok
-        t0 = time.time()
-        want = con.sql(oracle[SWEEP_QUERY]).fetchall()  # ORIGINAL aggregate
-        got = con.sql(
-            f"SELECT * FROM '{tmp}/oracle_{SWEEP_QUERY}.parquet'").fetchall()
-        same, why = rows_match(got, want)
-        print(f"{'ok  ' if same else 'FAIL'} selfcheck {SWEEP_QUERY} "
-              f"({len(want)} rows, original {time.time()-t0:.0f}s)"
-              + ("" if same else f": {why}"), flush=True)
+        assert predict(con, oracle, tmp)
+        ok = True
+        for name in names:
+            t0 = time.time()
+            want = con.sql(oracle[name]).fetchall()  # ORIGINAL SQL on clone
+            got = con.sql(
+                f"SELECT * FROM '{tmp}/oracle_{name}.parquet'").fetchall()
+            same, why = rows_match(got, want)
+            print(f"{'ok  ' if same else 'FAIL'} selfcheck {name} "
+                  f"({len(want)} rows, original {time.time()-t0:.0f}s)"
+                  + ("" if same else f": {why}"), flush=True)
+            ok &= same
         con.close()
-        return same
+        return ok
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sweep_selfcheck(base_dir, f, out_dir):
+    """Validate the sweep count lift with DuckDB alone, cheaply (documents
+    clone only — no CC/pagerank recomputation, which OOMs at x3)."""
+    return _docs_clone_selfcheck(
+        base_dir, f, out_dir, [SWEEP_QUERY],
+        lambda con, oracle, tmp: run_sweep(con, base_dir, oracle, f,
+                                           out_dir, tmp, compare=False))
+
+
+def textlift_selfcheck(base_dir, f, out_dir):
+    """Validate the text/vocab lifts with DuckDB alone (documents clone)."""
+    return _docs_clone_selfcheck(
+        base_dir, f, out_dir, list(TEXT_LIFTS),
+        lambda con, oracle, tmp: run_text_lifts(con, base_dir, oracle, f,
+                                                out_dir, tmp, compare=False))
 
 
 if __name__ == "__main__":
@@ -730,6 +833,16 @@ if __name__ == "__main__":
     if args and args[0] == "--sweep-selfcheck":
         f, base_dir, out_dir = int(args[1]), args[2], args[3]
         sys.exit(0 if sweep_selfcheck(base_dir, f, out_dir) else 1)
+    if args and args[0] == "--textlift-selfcheck":
+        f, base_dir, out_dir = int(args[1]), args[2], args[3]
+        sys.exit(0 if textlift_selfcheck(base_dir, f, out_dir) else 1)
+    if args and args[0] == "--textlift":
+        base_dir, scaled_dir, f, out_dir = (
+            args[1], args[2], int(args[3]), args[4])
+        con = connect(scaled_dir)
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        sys.exit(0 if run_text_lifts(con, base_dir, oracle, f, out_dir,
+                                     out_dir, True) else 1)
     if args and args[0] == "--sweep":
         base_dir, scaled_dir, f, out_dir = (
             args[1], args[2], int(args[3]), args[4])
