@@ -70,17 +70,27 @@ object ScaleUp {
     "documents" -> "doc_id", "embeddings" -> "vec_id",
     "events" -> "user_id")
 
-  /** Solve A so Σ_{r=1..n} clamp(round(A/r), 1, cap) ≈ factor·n (binary
-    * search on the driver — n is an entity count, ≤ ~1e6 at base sf). */
-  private[graft] def solveZipfA(n: Long, factor: Int, cap: Int): Double = {
+  /** Solve A so Σ_r clamp(round(A/r), 1, cap) · w_r ≈ factor · Σ_r w_r
+    * (binary search on the driver — one weight per ENTITY, ≤ ~1e6 at the
+    * base sf this generator reads). Weights are the entity's base ROW
+    * counts: for per-row tables (documents, embeddings) all weights are
+    * 1, but events replicate per USER, whose base event counts are
+    * themselves skewed — an unweighted solve would miss the row target
+    * by whatever that skew is (measured 1.66× instead of 10× at sf0.1).
+    */
+  private[graft] def solveZipfA(weights: Array[Long], factor: Int,
+      cap: Int): Double = {
+    val n = weights.length
     def total(a: Double): Long = {
-      var s = 0L; var r = 1L
-      while (r <= n) {
-        s += math.min(cap.toLong, math.max(1L, math.round(a / r))); r += 1
+      var s = 0L; var r = 0
+      while (r < n) {
+        s += math.min(cap.toLong, math.max(1L, math.round(a / (r + 1)))) *
+          weights(r)
+        r += 1
       }
       s
     }
-    val want = factor.toLong * n
+    val want = factor.toLong * weights.sum
     var lo = 1.0
     var hi = cap.toDouble * n
     var i = 0
@@ -91,6 +101,9 @@ object ScaleUp {
     }
     (lo + hi) / 2
   }
+
+  private[graft] def solveZipfA(n: Long, factor: Int, cap: Int): Double =
+    solveZipfA(Array.fill(n.toInt)(1L), factor, cap)
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
@@ -122,22 +135,25 @@ object ScaleUp {
         val entity = zipfEntity(t)
         val cap = sys.env.get("SCALEUP_ZIPF_CAP").map(_.toInt)
           .getOrElse(10 * factor)
-        val n = base.select(entity).distinct().count()
-        val a = solveZipfA(n, factor, cap)
-        // rank entities by ascending key (deterministic), look up each
-        // row's multiplicity via a broadcast join, explode replica index.
-        // The global row_number window runs over ENTITIES (≤ ~1e6 at the
-        // base sf this generator reads), not rows — fine for a generator.
-        import org.apache.spark.sql.expressions.Window
-        val mult = base.select(col(entity)).distinct()
-          .withColumn("__rank", row_number().over(Window.orderBy(col(entity))))
-          .withColumn("__m", least(greatest(
-            round(lit(a) / col("__rank")), lit(1L)), lit(cap.toLong))
-            .cast("int"))
-          .select(col(entity), col("__m"))
-        val got = mult.agg(sum("__m")).head().getLong(0)
-        System.err.println(s"[scaleup] $t zipf: $n entities, A=${a.round}, " +
-          s"cap=$cap, total multiplicity $got (uniform target ${factor * n})")
+        // entity ROW counts in ascending-key order: the solve is weighted
+        // so the SCALED ROW total lands on factor x the base rows even
+        // when rows-per-entity are themselves skewed (events). Collect is
+        // one row per ENTITY (≤ ~1e6 at the base sf) — generator-only.
+        val entRows = base.groupBy(col(entity)).count()
+          .orderBy(col(entity)).collect()
+        val weights = entRows.map(_.getLong(1))
+        val a = solveZipfA(weights, factor, cap)
+        val spark2 = base.sparkSession
+        import spark2.implicits._
+        val ms = weights.indices.map(i =>
+          math.min(cap.toLong, math.max(1L, math.round(a / (i + 1)))).toInt)
+        val mult = entRows.toSeq.zip(ms).map { case (r, m) =>
+          (r.getAs[Number](0).longValue, m)
+        }.toDF(entity, "__m")
+        val got = ms.zip(weights).map { case (m, w) => m.toLong * w }.sum
+        System.err.println(s"[scaleup] $t zipf: ${weights.length} entities, " +
+          s"A=${a.round}, cap=$cap, scaled rows $got " +
+          s"(uniform target ${factor * weights.sum})")
         base.join(broadcast(mult), Seq(entity))
           .withColumn("__i",
             explode(sequence(lit(0), col("__m") - 1)))

@@ -25,6 +25,22 @@ class ScaleUpZipfSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted solve hits the ROW target under skewed rows-per-entity") {
+    // events replicate per USER whose base event counts are themselves
+    // skewed: the solve must weight by row counts or the scaled total
+    // misses by that skew (measured 1.66x instead of 10x unweighted).
+    val rnd = new scala.util.Random(7)
+    for ((n, factor) <- Seq((1500, 10), (5000, 100))) {
+      val w = Array.fill(n)(1L + rnd.nextInt(800).toLong)
+      val cap = 10 * factor
+      val a = ScaleUp.solveZipfA(w, factor, cap)
+      val got = w.indices.map(i => mult(a, i + 1, cap) * w(i)).sum
+      val want = factor.toLong * w.sum
+      assert(math.abs(got - want) <= want / 100,
+        s"n=$n factor=$factor: got $got want $want")
+    }
+  }
+
   test("multiplicity is capped at the head, skewed, monotone") {
     val (n, factor) = (5000L, 100)
     val cap = 10 * factor
