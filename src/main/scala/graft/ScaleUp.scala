@@ -135,6 +135,13 @@ object ScaleUp {
         val entity = zipfEntity(t)
         val cap = sys.env.get("SCALEUP_ZIPF_CAP").map(_.toInt)
           .getOrElse(10 * factor)
+        // cap < factor makes the ×factor row target unreachable (max total
+        // = cap·Σw < factor·Σw): the binary search would converge to its
+        // ceiling and the run would proceed with an under-scaled corpus,
+        // visible only in a stderr line (r15 ADVICE). Fail instead.
+        require(cap >= factor,
+          s"ScaleUp: SCALEUP_ZIPF_CAP=$cap < factor $factor — the row " +
+            "target factor·N is unreachable under this cap")
         // entity ROW counts in ascending-key order: the solve is weighted
         // so the SCALED ROW total lands on factor x the base rows even
         // when rows-per-entity are themselves skewed (events). Collect is
@@ -151,9 +158,17 @@ object ScaleUp {
           (r.getAs[Number](0).longValue, m)
         }.toDF(entity, "__m")
         val got = ms.zip(weights).map { case (m, w) => m.toLong * w }.sum
+        val want = factor * weights.sum
+        // ScaleUpZipfSpec asserts the scaled total lands within 1% of
+        // factor·N; enforce the same bound here so a degenerate solve
+        // (step-quantized total at tiny entity counts, cap pressure) fails
+        // the generator rather than shipping an off-target corpus.
+        require(math.abs(got - want) <= 0.01 * want,
+          s"ScaleUp: $t zipf solve landed $got rows vs target $want " +
+            "(>1% off) — raise SCALEUP_ZIPF_CAP or inspect the weights")
         System.err.println(s"[scaleup] $t zipf: ${weights.length} entities, " +
           s"A=${a.round}, cap=$cap, scaled rows $got " +
-          s"(uniform target ${factor * weights.sum})")
+          s"(uniform target $want)")
         base.join(broadcast(mult), Seq(entity))
           .withColumn("__i",
             explode(sequence(lit(0), col("__m") - 1)))

@@ -48,12 +48,19 @@ object Verify {
     } else if (!resume && Files.exists(fpPath)
                && Files.readString(fpPath) != fingerprint) {
       // Non-resume run into an outDir dumped under a DIFFERENT identity:
-      // stamping the new fingerprint over stale _SUCCESS dirs would let an
-      // interrupted run + later RESUME=1 silently validate the stale
-      // dumps (r14 ADVICE) — strip the markers first so only queries this
-      // run actually re-dumps can ever be resumed.
+      // stamping the new fingerprint over stale dumps would let an
+      // interrupted run + later RESUME=1 silently validate them (r14
+      // ADVICE). Stripping only _SUCCESS is not enough either — the gate
+      // reads {outDir}/{name}/*.parquet without checking the marker, so a
+      // gate racing an interrupted re-dump could still compare the prior
+      // identity's DATA for not-yet-redumped queries (r15 ADVICE). Delete
+      // the whole per-query dump dirs so stale rows cannot be read at all.
       SparkEntry.queries.keys.foreach { name =>
-        Files.deleteIfExists(Paths.get(s"$outDir/$name/_SUCCESS"))
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
     Files.writeString(fpPath, fingerprint)

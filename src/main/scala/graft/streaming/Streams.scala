@@ -650,6 +650,15 @@ object Streams {
           arrivals.foreach { a =>
             if (a.vec_id < maxSeen) cellOoo += 1 else maxSeen = a.vec_id
             val qv = a.qv.toArray
+            // dim is constant per trained model, so a mismatched arrival is
+            // unreachable today — but the flat repack below would corrupt
+            // state silently (shorter row: AIOOBE mid-copy; longer row:
+            // truncated delegate) instead of failing here with a cause
+            // (r15 ADVICE). Reject at the door.
+            require(dim == 0 || qv.length == dim,
+              s"semDedupStream cell $cid: arrival ${a.vec_id} has qv dim " +
+                s"${qv.length}, cell established dim $dim — mixed-model " +
+                "arrivals cannot share a cell's delegate state")
             val qn = math.sqrt(dot(qv, qv).toDouble)
             val exact = rows.indexWhere(java.util.Arrays.equals(_, qv))
             val dropped =

@@ -94,7 +94,20 @@ def _connect(sf_dir):
         except PermissionError:
             alive = True                           # alive, different user
         try:
-            stale = _time.time() - os.path.getmtime(d) > 86400
+            # Staleness must consider the dir's ENTRIES, not just the dir:
+            # directory mtime only moves on entry create/delete, so a >1-day
+            # run still appending to early-created spill files reads "stale"
+            # by dir mtime alone and would lose its temp mid-query to any
+            # concurrently started gate (r15 ADVICE). Use the max mtime over
+            # the dir and everything in it.
+            mt = os.path.getmtime(d)
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        mt = max(mt, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass                       # file vanished mid-walk
+            stale = _time.time() - mt > 86400
         except OSError:
             continue                               # vanished concurrently
         if not alive or stale:

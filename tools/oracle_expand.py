@@ -720,6 +720,317 @@ def run_expanded(base_dir, scaled_dir, f, out_dir, save_dir=None,
     return all_ok
 
 
+# ---------------------------------------------------------------------------
+# Zipf (per-entity multiplicity) generalization — round 16.
+#
+# ScaleUp's SCALEUP_ZIPF=1 rung gives base doc d a clone multiplicity m_d
+# (clamp(round(A/rank),1,cap)), not a uniform f. The clone algebra still
+# holds pointwise — clones are byte-identical payloads under
+# doc_id + i*KEY_OFFSET, i < m_d — so every uniform law generalizes by
+# replacing "f copies" with "m_d copies":
+#   - a base pair (a,b) lifts to m_a * m_b scaled pairs at the same value
+#     columns; a doc's clones pair mutually in C(m_d, 2) cliques;
+#   - UNLIKE uniform f>=2, a doc with m_d = 1 and no base pair has NO
+#     edges in the scaled graph: it is absent from pairs/und/cc entirely
+#     (under uniform scaling every b-doc self-cliques into the graph);
+#   - the df-FRACTION-capped family is NOT clone-invariant under Zipf:
+#     scaled df(h) = sum(m_d : d contains h) and the cap is
+#     ceil(frac * sum(m_d : d in b)) — the hot set must be recomputed
+#     with m-weighted counts (still on the BASE corpus: postings are
+#     linear, only the final pair join is quadratic, and that runs over
+#     base-sized surviving postings);
+#   - pagerank: all clones of u are rank-identical by symmetry (identical
+#     neighborhoods: the m_u - 1 family clones plus every clone of every
+#     base neighbor), so the exact integer recurrence runs per BASE node:
+#       n'      = sum(m_u : u a scaled-graph node)
+#       deg'(u) = (m_u - 1) + sum(m_v : v in N(u))
+#       r_{k+1}(v) = (15S)//(100 n')
+#                  + (85*((m_v - 1)*c_k(v) + sum(m_u * c_k(u)))) // 100,
+#       c_k(u) = r_k(u) // deg'(u),
+#     over nodes {u in b : m_u >= 2 or N(u) nonempty}.
+#
+# The multiplicity map is NOT taken on trust from the generator: it is
+# read off the SCALED corpus itself (m_d = count of clones of base id d =
+# rows with doc_id % KEY_OFFSET = d), so the laws bind to what is actually
+# on disk. --zipf-selfcheck validates the whole family DuckDB-only, like
+# the uniform --selfcheck: clone documents under a genuine Zipf map (same
+# clamp(round(A/rank),1,cap) shape ScaleUp uses, including m=1 tails),
+# run the ORIGINAL quadratic SQL there, compare with the prediction.
+# ---------------------------------------------------------------------------
+
+ZIPF_DOC_QUERIES = (CC_QUERIES + PAIR_QUERIES
+                    + ["q_dedup_ngram_fcapped", "q_pagerank"])
+
+
+def doc_mult(con_scaled):
+    """Per-base-doc clone multiplicity read off the scaled documents table.
+    Returns (dict base_doc_id -> m, max_m)."""
+    rows = con_scaled.sql(
+        f"SELECT doc_id % {KEY_OFFSET} AS base_id, count(*) AS m, "
+        f"       count(DISTINCT doc_id // {KEY_OFFSET}) AS mdist "
+        f"FROM documents GROUP BY 1").fetchall()
+    m = {}
+    for base_id, cnt, mdist in rows:
+        # one row per doc per replica: count == distinct offsets, offsets
+        # must be 0..m-1 (ScaleUp's rule) for the +i*K lift to be exact
+        assert cnt == mdist, f"doc {base_id}: {cnt} rows, {mdist} offsets"
+        m[base_id] = cnt
+    mx = con_scaled.sql(
+        f"SELECT max(doc_id // {KEY_OFFSET}) + 1, min(doc_id % {KEY_OFFSET}),"
+        f" max(doc_id % {KEY_OFFSET}) FROM documents").fetchone()
+    assert mx[2] < KEY_OFFSET
+    print(f"[zipf] multiplicity map: {len(m)} base docs, max m "
+          f"{max(m.values())}, total {sum(m.values())}", flush=True)
+    return m, max(m.values())
+
+
+def mult_table(con, m):
+    con.execute("CREATE OR REPLACE TABLE mult (doc_id BIGINT, m BIGINT)")
+    con.executemany("INSERT INTO mult VALUES (?, ?)", list(m.items()))
+
+
+def base_fcapped_zipf(base_dir, oracle, m):
+    """m-WEIGHTED fcapped base frame: the scaled hot set is
+    {h : sum(m_d : d contains h) > ceil(frac * sum(m_d : d in b))} — not
+    the base hot set (Zipf breaks the uniform df'=f*df invariance). Splice
+    the m-weighted cap/hot into the ORIGINAL SQL's linear prefix, keep its
+    verbatim e/n/c/pair tail, and return (pairs, eligible docs)."""
+    sql = oracle["q_dedup_ngram_fcapped"]
+    i0 = sql.find("cap AS (")
+    i1 = sql.find("e AS (SELECT * FROM e0 WHERE hsh NOT IN")
+    assert 0 < i0 < i1, "fcapped oracle shape drifted (zipf splice)"
+    spliced = (
+        sql[:i0]
+        + "cap AS (SELECT CAST(ceil(" + _fcapped_frac(sql) + " * "
+        + "(SELECT sum(mu.m) FROM b JOIN mult mu USING (doc_id)))"
+        + " AS BIGINT) AS maxdf),\n"
+        + "hot AS (SELECT e0.hsh FROM e0 JOIN mult mu USING (doc_id)\n"
+        + "  GROUP BY 1 HAVING sum(mu.m) > (SELECT maxdf FROM cap)),\n"
+        + sql[i1:])
+    i2 = spliced.rfind("SELECT c.a_id")
+    assert i2 > 0
+    prefix = spliced[:i2].rstrip().rstrip(",")
+    con = connect(base_dir)
+    mult_table(con, m)
+    t0 = time.time()
+    pairs = con.sql(spliced).fetchall()
+    eligible = [r[0] for r in con.sql(
+        prefix + "\nSELECT DISTINCT doc_id FROM e").fetchall()]
+    print(f"[zipf] base fcapped (m-weighted hot set): {len(pairs)} pairs, "
+          f"{len(eligible)} eligible ({time.time()-t0:.0f}s)", flush=True)
+    con.close()
+    return pairs, eligible
+
+
+def _fcapped_frac(sql):
+    import re
+    mm = re.search(r"ceil\(([0-9.]+) \* count\(\*\)\)", sql)
+    assert mm, "fcapped frac literal not found"
+    return mm.group(1)
+
+
+def pagerank_expanded_zipf(pairs, b_ids, m):
+    """Exact integer replica of the oracle's 6 unrolled rounds on the
+    m-expanded graph, per BASE node. A doc with m=1 and no base pair is
+    NOT a graph node (no clique, no cross edge)."""
+    from collections import defaultdict
+    nbrs = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    nodes = sorted(u for u in b_ids if m[u] >= 2 or nbrs[u])
+    n2 = sum(m[u] for u in nodes)
+    degx = {u: (m[u] - 1) + sum(m[v] for v in nbrs[u]) for u in nodes}
+    r = {u: S // n2 for u in nodes}
+    for _ in range(6):
+        contrib = {u: r[u] // degx[u] for u in nodes}
+        r = {v: (15 * S) // (100 * n2)
+                + (85 * ((m[v] - 1) * contrib[v]
+                         + sum(m[u] * contrib[u] for u in nbrs[v]))) // 100
+             for v in nodes}
+    return {u: (degx[u], r[u]) for u in nodes}
+
+
+def run_expanded_zipf(base_dir, scaled_dir, out_dir, save_dir=None,
+                      compare=True):
+    """Predict the 11 quadratic-family oracle answers on a Zipf-multiplicity
+    clone corpus; compare with Spark dumps under out_dir when present."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    save_dir = save_dir or out_dir
+    con = connect(scaled_dir)
+    m, maxm = doc_mult(con)
+    mult_table(con, m)
+    cc, bs = base_cc_and_b(base_dir, oracle)
+    all_ok = True
+
+    con.execute("CREATE OR REPLACE TABLE cc_base "
+                "(doc_id BIGINT, cluster_id BIGINT)")
+    con.executemany("INSERT INTO cc_base VALUES (?, ?)", cc)
+    con.execute("CREATE OR REPLACE TABLE b_base (doc_id BIGINT)")
+    con.executemany("INSERT INTO b_base VALUES (?)", [(x,) for x in bs])
+    # scaled cc: paired docs keep their base component label (components
+    # expand 1:1, min-id labels preserved: replica 0 keeps base ids);
+    # unpaired docs enter ONLY as m>=2 family cliques labeled by base id
+    con.execute(f"""CREATE OR REPLACE TABLE exp_cc AS
+      WITH fam AS (
+        SELECT b.doc_id, c.cluster_id AS base_lab
+        FROM b_base b LEFT JOIN cc_base c USING (doc_id))
+      SELECT fam.doc_id + i.range * {KEY_OFFSET} AS doc_id,
+             COALESCE(fam.base_lab, fam.doc_id) AS cluster_id
+      FROM fam JOIN mult mu USING (doc_id)
+      JOIN range({maxm}) i ON i.range < mu.m
+      WHERE fam.base_lab IS NOT NULL OR mu.m >= 2""")
+
+    pb = base_pairs_rows(base_dir, oracle)
+    con.execute("CREATE OR REPLACE TABLE pairs_base "
+                "(a_id BIGINT, b_id BIGINT, jaccard DOUBLE)")
+    con.executemany("INSERT INTO pairs_base VALUES (?, ?, ?)", pb)
+    con.execute(f"""CREATE OR REPLACE TABLE exp_pairs AS
+      WITH cross_p AS (
+        SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                     p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+               greatest(p.a_id + i.range * {KEY_OFFSET},
+                        p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+               p.jaccard
+        FROM pairs_base p
+        JOIN mult ma ON ma.doc_id = p.a_id
+        JOIN mult mb ON mb.doc_id = p.b_id
+        JOIN range({maxm}) i ON i.range < ma.m
+        JOIN range({maxm}) j ON j.range < mb.m),
+      fam AS (
+        SELECT b.doc_id + i.range * {KEY_OFFSET} AS a_id,
+               b.doc_id + j.range * {KEY_OFFSET} AS b_id,
+               1.0::DOUBLE AS jaccard
+        FROM b_base b JOIN mult mu USING (doc_id)
+        JOIN range({maxm}) i ON i.range < mu.m
+        JOIN range({maxm}) j ON j.range < mu.m
+        WHERE i.range < j.range)
+      SELECT * FROM cross_p UNION ALL SELECT * FROM fam""")
+
+    for name in CC_QUERIES + PAIR_QUERIES:
+        t0 = time.time()
+        sql = (rewrite_tail(oracle[name]) if name in CC_QUERIES
+               else rewrite_pair_tail(oracle[name]))
+        dst = f"{save_dir}/oracle_{name}.parquet"
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"[zipf] {name} predicted in {time.time()-t0:.0f}s", flush=True)
+        if compare:
+            all_ok &= compare_with_spark(con, name, out_dir, dst)
+
+    # fcapped: m-weighted hot set recomputed on the base corpus
+    fp, elig = base_fcapped_zipf(base_dir, oracle, m)
+    con.execute("CREATE OR REPLACE TABLE fpairs_base "
+                "(a_id BIGINT, b_id BIGINT, jaccard DOUBLE)")
+    con.executemany("INSERT INTO fpairs_base VALUES (?, ?, ?)", fp)
+    con.execute("CREATE OR REPLACE TABLE elig_base (doc_id BIGINT)")
+    con.executemany("INSERT INTO elig_base VALUES (?)",
+                    [(x,) for x in elig])
+    dst = f"{save_dir}/oracle_q_dedup_ngram_fcapped.parquet"
+    con.execute(f"""COPY (
+      WITH cross_p AS (
+        SELECT least(p.a_id + i.range * {KEY_OFFSET},
+                     p.b_id + j.range * {KEY_OFFSET}) AS a_id,
+               greatest(p.a_id + i.range * {KEY_OFFSET},
+                        p.b_id + j.range * {KEY_OFFSET}) AS b_id,
+               p.jaccard
+        FROM fpairs_base p
+        JOIN mult ma ON ma.doc_id = p.a_id
+        JOIN mult mb ON mb.doc_id = p.b_id
+        JOIN range({maxm}) i ON i.range < ma.m
+        JOIN range({maxm}) j ON j.range < mb.m),
+      fam AS (
+        SELECT e.doc_id + i.range * {KEY_OFFSET} AS a_id,
+               e.doc_id + j.range * {KEY_OFFSET} AS b_id,
+               1.0::DOUBLE AS jaccard
+        FROM elig_base e JOIN mult mu USING (doc_id)
+        JOIN range({maxm}) i ON i.range < mu.m
+        JOIN range({maxm}) j ON j.range < mu.m
+        WHERE i.range < j.range)
+      SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM fam)
+      ORDER BY a_id, b_id) TO '{dst}' (FORMAT PARQUET)""")
+    if compare:
+        all_ok &= compare_with_spark(
+            con, "q_dedup_ngram_fcapped", out_dir, dst)
+
+    # pagerank: per-node-multiplicity integer recurrence, fanned out by m
+    pr = pagerank_expanded_zipf(base_edges(base_dir, oracle), bs, m)
+    con.execute("CREATE OR REPLACE TABLE pr_base "
+                "(doc_id BIGINT, deg BIGINT, pr_scaled BIGINT)")
+    con.executemany("INSERT INTO pr_base VALUES (?, ?, ?)",
+                    [(u, d, r) for u, (d, r) in pr.items()])
+    dst = f"{save_dir}/oracle_q_pagerank.parquet"
+    con.execute(f"""COPY (
+      SELECT p.doc_id + i.range * {KEY_OFFSET} AS doc_id, p.deg, p.pr_scaled
+      FROM pr_base p JOIN mult mu USING (doc_id)
+      JOIN range({maxm}) i ON i.range < mu.m
+      ORDER BY pr_scaled DESC, doc_id) TO '{dst}' (FORMAT PARQUET)""")
+    if compare:
+        all_ok &= compare_with_spark(con, "q_pagerank", out_dir, dst)
+    con.close()
+    return all_ok
+
+
+def zipf_selfcheck(base_dir, factor, cap, out_dir):
+    """Validate the per-entity-multiplicity laws with DuckDB alone: clone
+    documents under a GENUINE Zipf map (ScaleUp's clamp(round(A/rank),1,
+    cap) shape, solved for factor*N total rows, including m=1 tail docs),
+    run the ORIGINAL quadratic SQL on the clone dir, compare with the
+    prediction."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    tmp = tempfile.mkdtemp(prefix="graft-zipfcheck-")
+    try:
+        con0 = connect(base_dir)
+        ids = [r[0] for r in con0.sql(
+            "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+        n = len(ids)
+        # ScaleUp.solveZipfA, unit weights: binary-search A so the clamped
+        # harmonic sum lands on factor*n
+        def total(a):
+            return sum(min(cap, max(1, round(a / (r + 1))))
+                       for r in range(n))
+        lo, hi = 1.0, float(cap) * n
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if total(mid) < factor * n:
+                lo = mid
+            else:
+                hi = mid
+        a = (lo + hi) / 2
+        m = {ids[r]: min(cap, max(1, round(a / (r + 1)))) for r in range(n)}
+        n1 = sum(1 for v in m.values() if v == 1)
+        print(f"[zipf-selfcheck] {n} docs, factor {factor}, cap {cap}: "
+              f"total {sum(m.values())}, max m {max(m.values())}, "
+              f"{n1} docs at m=1", flush=True)
+        assert max(m.values()) == cap and n1 > 0, \
+            "selfcheck map must exercise both the cap and the m=1 tail"
+        mult_table(con0, m)
+        con0.execute(f"""COPY (
+          SELECT d.* REPLACE (d.doc_id + i.range * {KEY_OFFSET} AS doc_id)
+          FROM documents d JOIN mult mu USING (doc_id)
+          JOIN range({cap}) i ON i.range < mu.m)
+          TO '{tmp}/documents.parquet' (FORMAT PARQUET)""")
+        con0.close()
+        okall = run_expanded_zipf(base_dir, tmp, out_dir, save_dir=tmp,
+                                  compare=False)
+        assert okall is not None
+        con = connect(tmp)
+        ok = True
+        for name in ZIPF_DOC_QUERIES:
+            t0 = time.time()
+            want = con.sql(oracle[name]).fetchall()  # ORIGINAL SQL on clones
+            got = con.sql(
+                f"SELECT * FROM '{tmp}/oracle_{name}.parquet'").fetchall()
+            same, why = rows_match(got, want)
+            print(f"{'ok  ' if same else 'FAIL'} zipf-selfcheck {name} "
+                  f"({len(want)} rows, original {time.time()-t0:.0f}s)"
+                  + ("" if same else f": {why}"), flush=True)
+            ok &= same
+        con.close()
+        return ok
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def selfcheck(base_dir, f, out_dir):
     """Validate the expansion law with DuckDB alone: clone the documents
     table x f under the ScaleUp key rule, run the ORIGINAL quadratic
@@ -850,6 +1161,18 @@ if __name__ == "__main__":
         oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
         sys.exit(0 if run_sweep(con, base_dir, oracle, f, out_dir,
                                 out_dir, True) else 1)
+    if args and args[0] == "--zipf-selfcheck":
+        # oracle_expand.py --zipf-selfcheck <factor> <cap> <base> <out>
+        f, cap, base_dir, out_dir = (int(args[1]), int(args[2]), args[3],
+                                     args[4])
+        sys.exit(0 if zipf_selfcheck(base_dir, f, cap, out_dir) else 1)
+    if args and args[0] == "--zipf":
+        # Per-entity-multiplicity apply: the map is read off the scaled
+        # documents table itself (no factor argument — Zipf rungs have no
+        # single f): oracle_expand.py --zipf <base> <scaled> <out>
+        base_dir, scaled_dir, out_dir = args[1], args[2], args[3]
+        sys.exit(0 if run_expanded_zipf(base_dir, scaled_dir, out_dir)
+                 else 1)
     if args and args[0] == "--selfcheck":
         f, base_dir, out_dir = int(args[1]), args[2], args[3]
         sys.exit(0 if selfcheck(base_dir, f, out_dir) else 1)
