@@ -286,11 +286,25 @@ object Bench {
         System.err.println(s"[bench] $outPath not written: ${e.getMessage}")
       }
     }
+    // SPARK_GRAFT_ROWS=1 (focused slope runs): after timing, COUNT each
+    // selected query's output — the denominator of any "wall is linear in
+    // output volume" claim. A separate untimed pass: count() prunes
+    // columns, so its wall is not the noop-write wall and is not reported.
+    val rowsJson =
+      if (!sys.env.get("SPARK_GRAFT_ROWS").exists(_ == "1")) ""
+      else {
+        val counts = selected.map { case (name, fn) =>
+          val n = try fn(spark, sfDir).count()
+                  catch { case _: Throwable => -1L }
+          "\"" + name + "\":" + n
+        }.mkString("{", ",", "}")
+        s""""rows":$counts,"""
+      }
     val slowest = okResults.sortBy(-_._2._1).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f3(v._1) }.mkString("{", ",", "}")
     val sortedVec = okResults.sortBy(_._1)
       .map { case (_, v) => f3(v._1) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorBrief,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"spill_disk_total":$spillDiskTotal,"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${okResults.size} ok times asc by name, 3dp; full map + per-query cpu/gc in the target/bench file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"$mode","n_run":${okResults.size},"n_failed":${failed.size},"failed":$failedArr,"anchor":$anchorBrief,"anchor_norm_total":$normTotal,"cpu_ms_total":$cpuTotalMs,"gc_ms_total":$gcTotalMs,"spill_disk_total":$spillDiskTotal,$rowsJson"queries":$slowest,"qs_sorted":$sortedVec,"note":"queries = 12 slowest; qs_sorted = all ${okResults.size} ok times asc by name, 3dp; full map + per-query cpu/gc in the target/bench file","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -645,11 +645,18 @@ object Joins {
             .select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name")
+      // Join ORDER matters at scale: the ASIA filter keeps ~1/5 of
+      // customers, so reducing orders by the (broadcastable) filtered
+      // customer side FIRST shrinks the fact-fact join's build side ~5×
+      // before lineitem ever shuffles — the selective dimension reduction
+      // belongs under the big join, not above it (8 GiB sf10 rung:
+      // q_market_share was the #2 spiller at 1.50 GB in r15's full run).
+      val asianOrders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(asianCust, col("o_custkey") === col("c_custkey"))
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), rev.as("rev"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(asianCust, col("o_custkey") === col("c_custkey"))
+        .join(asianOrders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(
             sum(when(col("n_name") === "JAPAN", col("rev")).otherwise(lit(0)))
