@@ -13,8 +13,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the Parquet scan (verify with `.explain`: PushedFilters / ReadSchema).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Inferred-schema memo: every `spark.read.parquet(path)` without an
+    * explicit schema runs a driver JOB to read footers for inference —
+    * measured 25-35 ms per table per query construction (ProfileQ r16:
+    * 2-5 such jobs per query = a fixed ~0.1 s tax on all 165 bench
+    * queries). A table's schema is a property of its files, so it is
+    * inferred ONCE per (app, path, mtime, len) and passed back explicitly;
+    * the mtime+len key re-infers when a path is rewritten in-session
+    * (overwrite replaces the dir → both change), the exact staleness the
+    * Caches fingerprint guards against. One stat call replaces one job.
+    */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      s"${spark.sparkContext.applicationId}:$path:${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception =>
+      // missing/unstattable path: fall through to the plain read so the
+      // caller sees the standard PATH_NOT_FOUND, not a memo artifact
+      return spark.read.parquet(path)
+    }
+    val schema = schemaMemo.getOrElseUpdate(key, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Normalize `events.ts` to session-zoned TimestampType. The testdata
     * stores Timestamp(isAdjustedToUTC=false, MICROS), which Spark 4 surfaces
