@@ -24,7 +24,10 @@ object ProfileQ {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1e3).getOrElse(-1.0)
-        stages += ((si.stageId, s"${si.name.takeWhile(_ != '\n').take(60)} tasks=${si.numTasks}", dur))
+        val m = si.taskMetrics
+        val detail = if (m == null) "" else
+          f" cpu=${m.executorCpuTime / 1e9}%.2f deser=${m.executorDeserializeCpuTime / 1e9}%.2f run=${m.executorRunTime / 1e3}%.2f gc=${m.jvmGCTime / 1e3}%.2f srecs=${m.shuffleReadMetrics.recordsRead} peak=${m.peakExecutionMemory / 1048576}M"
+        stages += ((si.stageId, s"${si.name.takeWhile(_ != '\n').take(40)} tasks=${si.numTasks}$detail", dur))
       }
     })
     val qs = SparkEntry.queries

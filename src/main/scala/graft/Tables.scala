@@ -139,26 +139,46 @@ object Tables {
 object GraftSession {
   def build(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width = core count. Measured r16 (hot-22 subset, floor 64k):
+    // 2×cores REGRESSED wall 19.5 -> 26.8 s and executor CPU 229 -> 363 k
+    // ms — per-task fixed cost dominates at bench scale, so extra width
+    // buys contention, not parallelism. Env-overridable for A/Bs; derived
+    // from cores, never a fixed local constant.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE sizes coalesced partitions by shuffle BYTES (floor 1 MiB),
-      // which serializes compute-bound stages whose rows are heavy but
-      // small — pair emission, window recompute, array folds all landed
-      // on 1-4 tasks at bench scale. A 64 KiB floor keeps those stages
-      // wide while still collapsing genuinely empty partitions; at
-      // production scale partitions dwarf either floor and this is moot
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE coalesced-partition floor, r16-measured (OPTIMIZATION_r16.md):
+      // tasks under ~0.5 MiB of shuffle input carry more fixed per-task
+      // cost than compute — sweeping 16k/64k/128k/256k/512k/1m/2m on the
+      // 22 CPU-heaviest queries gave walls 28.2/19.5/18.4/15.4/14.3/16.3/
+      // 18.3 s (executor CPU collapsed 229k -> 42k ms at 512k). 512k also
+      // won on the pair-emission family (12.6 -> 9.6 s) that the old
+      // 64 KiB floor was protecting. Full-suite walls tie within noise
+      // across 64k/256k/512k once the codegen cache (below) is sized
+      // right, but total CPU still scales with task count (216k -> 49k
+      // ms), and total CPU is what the wall becomes at low core counts
+      // (8-CPU suite: 81.9 s at the r15 config, 56.8 s here). At
+      // production scale the 64 MiB advisory target dominates and the
+      // floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "512k"))
       // let persisted frames KEEP their output partitioning (off by
       // default under AQE): the memoized shared frames are deliberately
       // persisted pre-partitioned on their join keys, and with this off
       // every cache consumer re-shuffled what the build already placed
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Generated-class cache (static conf, default 100 entries): a
+      // 165-query engine cycles ~several hundred distinct generated
+      // sources per suite, so the default LRU thrashes and stages pay
+      // Janino recompiles all run long. Sized to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
