@@ -18,6 +18,14 @@ object Caches {
 
   private val frames = TrieMap.empty[String, DataFrame]
   private val values = TrieMap.empty[String, Any]
+  private val preparedFrames = TrieMap.empty[String, DataFrame]
+
+  /** Memoize an ANALYZED (not persisted, not executed) DataFrame under
+    * `key` — the prepared-statement registry Q uses. Unlike [[frames]],
+    * entries hold no storage: dropping one loses only analysis work.
+    */
+  def preparedFrame(key: String)(mk: => DataFrame): DataFrame =
+    preparedFrames.getOrElseUpdate(key, mk)
 
   /** Memoize a driver-side computed value (e.g. the exact medians a profile
     * call derives from its persisted histogram) under `key`.
@@ -93,6 +101,7 @@ object Caches {
     }
     frames.clear()
     values.clear()
+    preparedFrames.clear()
   }
 
   /** Cheap content fingerprint of a data directory: file count + max
