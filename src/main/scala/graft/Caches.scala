@@ -18,14 +18,23 @@ object Caches {
 
   private val frames = TrieMap.empty[String, DataFrame]
   private val values = TrieMap.empty[String, Any]
-  private val preparedFrames = TrieMap.empty[String, DataFrame]
+  private val preparedPlans =
+    TrieMap.empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
 
-  /** Memoize an ANALYZED (not persisted, not executed) DataFrame under
-    * `key` — the prepared-statement registry Q uses. Unlike [[frames]],
-    * entries hold no storage: dropping one loses only analysis work.
+  /** Memoize the ANALYZED LOGICAL PLAN under `key` — the prepared-statement
+    * registry Q uses. Only the plan is kept, never a Dataset: a Dataset
+    * freezes its lazy QueryExecution/executedPlan at first forcing, which
+    * made plan inspection order- and conf-dependent (r16 ADVICE: the
+    * shuffle-budget audit counted 0 exchanges on frames another test had
+    * already forced under AQE). Callers re-wrap the plan per invocation
+    * (GraftBridge.ofRows), so every call gets a fresh QueryExecution —
+    * optimization, physical planning, AQE and execution re-run under the
+    * current conf. Entries hold no storage: dropping one loses only
+    * analysis work.
     */
-  def preparedFrame(key: String)(mk: => DataFrame): DataFrame =
-    preparedFrames.getOrElseUpdate(key, mk)
+  def preparedPlan(key: String)(mk: => DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    preparedPlans.getOrElseUpdate(key, mk.queryExecution.analyzed)
 
   /** Memoize a driver-side computed value (e.g. the exact medians a profile
     * call derives from its persisted histogram) under `key`.
@@ -101,7 +110,8 @@ object Caches {
     }
     frames.clear()
     values.clear()
-    preparedFrames.clear()
+    preparedPlans.clear()
+    fingerprints.clear()
   }
 
   /** Cheap content fingerprint of a data directory: file count + max
@@ -121,5 +131,36 @@ object Caches {
       }
       s"$n:$maxMod:$bytes"
     } catch { case _: Exception => "na" }
+  }
+
+  private val fingerprints = TrieMap.empty[String, (String, String)]
+
+  /** [[fingerprint]] memoized per (session, dir) behind a single stat of the
+    * root directory (mtime+len), mirroring Tables.schemaMemo: the full
+    * recursive listing re-runs only when the root dir's own entry changes.
+    * Rationale (r16 ADVICE): Q computes a fingerprint per query
+    * CONSTRUCTION — a recursive listing 165+ times per suite pass is a new
+    * per-query driver fixed cost of exactly the kind the memo was built to
+    * remove. Staleness contract: whole-directory replacement (what every
+    * writer in this repo does — overwrite replaces the dir) bumps the root
+    * stat and re-lists; an in-place rewrite of a file inside a partition
+    * subdirectory does not, and such a caller must invalidate via
+    * [[clear]]. No engine path performs in-place sub-partition rewrites.
+    */
+  def fingerprintCached(spark: SparkSession, dir: String): String = {
+    val statKey = try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => return fingerprint(spark, dir) }
+    val mapKey = s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$dir"
+    fingerprints.get(mapKey) match {
+      case Some((k, fp)) if k == statKey => fp
+      case _ =>
+        val fp = fingerprint(spark, dir)
+        fingerprints.put(mapKey, (statKey, fp))
+        fp
+    }
   }
 }

@@ -14,22 +14,27 @@ final case class Q(
 
 object Q {
   /** Prepared-statement reuse (r16, guide §1.2 "per-task work" applied to
-    * the DRIVER): a query's DataFrame for a given (session, dir, content
-    * fingerprint) is a deterministic value, but re-building it per
+    * the DRIVER): a query's ANALYZED PLAN for a given (session, dir,
+    * content fingerprint) is a deterministic value, but re-building it per
     * execution re-runs constructor Scala + full Catalyst ANALYSIS —
     * measured 9.2 s across one pass of the 165-query suite (ANN/minhash
     * family worst at 0.1-0.34 s each), paid again by every bench pass.
-    * The analyzed frame is memoized; each action on it still creates a
-    * fresh QueryExecution — optimization, physical planning, AQE and the
-    * full execution from parquet re-run per invocation. No data, plan
+    * Only the analyzed LogicalPlan is memoized; every call wraps it in a
+    * fresh Dataset (fresh QueryExecution), so optimization, physical
+    * planning, AQE and the full execution from parquet re-run per
+    * invocation under the caller's CURRENT conf — memoizing the Dataset
+    * itself froze executedPlan at first forcing and made plan audits
+    * order/conf-dependent (r16 ADVICE, fixed r17). No data, plan
     * statistics or results are reused; rewritten inputs re-analyze via
-    * the fingerprint key (same staleness contract as [[Caches]]).
+    * the fingerprint key (same staleness contract as [[Caches]]); the key
+    * uses sessionUUID (unique per session — identityHashCode could collide
+    * after GC and serve a frame bound to a stopped context).
     */
   private def memoized(name: String,
       fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => Caches.preparedFrame(
-      s"q:$name:${System.identityHashCode(s)}:$d:${Caches.fingerprint(s, d)}")(
-      fn(s, d))
+    (s, d) => org.apache.spark.sql.GraftBridge.ofRows(s, Caches.preparedPlan(
+      s"q:$name:${org.apache.spark.sql.GraftBridge.sessionUUID(s)}:$d:${Caches.fingerprintCached(s, d)}")(
+      fn(s, d)))
 
   def apply(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): Q =

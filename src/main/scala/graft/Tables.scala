@@ -20,9 +20,14 @@ object Tables {
     * 2-5 such jobs per query = a fixed ~0.1 s tax on all 165 bench
     * queries). A table's schema is a property of its files, so it is
     * inferred ONCE per (app, path, mtime, len) and passed back explicitly;
-    * the mtime+len key re-infers when a path is rewritten in-session
-    * (overwrite replaces the dir → both change), the exact staleness the
-    * Caches fingerprint guards against. One stat call replaces one job.
+    * the mtime+len key re-infers when a path is rewritten in-session.
+    * Staleness contract (r16 ADVICE, documented): the key is the table
+    * root's OWN stat, so only whole-path replacement invalidates — every
+    * writer in this repo overwrites the table root (mode("overwrite")
+    * replaces the dir), which bumps it. An in-place rewrite of files
+    * inside a partition subdirectory would NOT bump the root; no engine
+    * path does that, and a session that did must call Caches.clear() and
+    * use a fresh path or app. One stat call replaces one job.
     */
   private val schemaMemo =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
