@@ -172,6 +172,15 @@ object GraftSession {
       // floor never binds.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "512k"))
+      // Scan-split open cost: LEFT AT THE 4 MiB DEFAULT (r17, measured).
+      // Splitting the 2-16 MiB bench tables into 32 scan tasks (openCost
+      // 256 KiB) parallelized single-task scan stages but regressed the
+      // 12-query probe subset 5.8 -> 6.4 s: at this input size ~30 extra
+      // tasks per stage cost more in per-task fixed overhead than the
+      // parallelism returns — the same width-vs-contention tradeoff as
+      // the r16 AQE-floor sweep. Env seam kept for future A/Bs.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       // let persisted frames KEEP their output partitioning (off by
       // default under AQE): the memoized shared frames are deliberately
       // persisted pre-partitioned on their join keys, and with this off

@@ -158,11 +158,17 @@ object Aggregates {
     */
   def conditionalHalves(df: DataFrame, partCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // Per-key bounds as a window over the SAME clustering the conditional
+    // aggregate needs (r17, guide §2.4): the former per-key bounds
+    // aggregate + broadcast join re-scanned the input and broadcast a
+    // KEY-cardinality frame — at 100 TB a per-user bounds relation does
+    // not broadcast. One exchange on partCol now serves bounds, the
+    // halves aggregate and (when the caller pre-range-partitions) the
+    // final sort; mid = (min+max)/2.0 is the identical expression over
+    // identical rows.
     val secs = unix_timestamp(col(tsCol))
-    val bounds = df.groupBy(col(partCol))
-      .agg(min(secs).as("t0"), max(secs).as("t1"))
-    df.join(broadcast(bounds), partCol)
-      .withColumn("mid", (col("t0") + col("t1")) / 2.0)
+    val w = Window.partitionBy(col(partCol))
+    df.withColumn("mid", (min(secs).over(w) + max(secs).over(w)) / 2.0)
       .groupBy(col(partCol))
       .agg(
         avg(when(secs < col("mid"), col(valueCol))).as("first_avg"),
@@ -545,23 +551,35 @@ object Aggregates {
         |  CASE WHEN prev = 0 THEN NULL
         |       ELSE CAST(n_users AS DOUBLE) / prev END AS conversion
         |FROM st ORDER BY stage""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
+      // Single-pass funnel (r17, guide §1.2/§2.4): the CTE form scanned
+      // events four times (s1/s2/s3/tot — the optimizer's per-branch
+      // pruning defeats exchange reuse) and joined the stages back —
+      // measured 15 sequential jobs / 7 exchanges. The stage times are
+      // per-user scalars over ONE clustering: t1 = min view-time, t2 =
+      // min click-time after t1 (a null t1 nulls the comparison, so
+      // non-s1 users get null t2 — exactly the inner join's semantics),
+      // t3 likewise after t2. Three stacked unbounded windows share one
+      // hash exchange; the per-user dedup aggregate is co-clustered
+      // (no exchange); counts are exact integers, so equivalence with
+      // the join form is order-free. One scan, 3 exchanges, 5 jobs.
+      val w = Window.partitionBy("user_id")
+      val per = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-      val s1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("us").as("t1"))
-      val s2 = ev.where(col("event_type") === "click")
-        .join(s1, Seq("user_id"))
-        .where(col("us") > col("t1"))
-        .groupBy("user_id").agg(min("us").as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(s2, Seq("user_id"))
-        .where(col("us") > col("t2"))
-        .groupBy("user_id").agg(min("us").as("t3"))
-      val one = ev.agg(countDistinct("user_id").as("n0"))
-        .crossJoin(s1.agg(count(lit(1)).as("n1")))
-        .crossJoin(s2.agg(count(lit(1)).as("n2")))
-        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2", min(when(
+          col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).over(w))
+        .withColumn("t3", min(when(
+          col("event_type") === "purchase" && col("us") > col("t2"),
+          col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      val one = per.agg(
+        count(lit(1)).as("n0"), // one row per distinct user
+        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
       one.select(expr(
           "stack(3, 1, 'view', n1, n0, 2, 'click', n2, n1, " +
             "3, 'purchase', n3, n2) AS (stage, event_type, n_users, prev)"))
@@ -597,13 +615,28 @@ object Aggregates {
         |  CAST(g.n_users AS DOUBLE) / cs.cohort_size AS retention
         |FROM g JOIN cs USING (cohort)
         |ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val f = ev.groupBy("user_id")
-        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
-      val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-      val a = ev.select(col("user_id"),
-        to_date(date_trunc("week", col("ts"))).as("week")).distinct()
-      val g = a.join(f, Seq("user_id"))
+      // Single-scan cohorts (r17, guide §1.2/§2.4): the two-aggregate +
+      // join form scanned events twice (f and a — per-branch pruning
+      // defeats exchange reuse) and re-shuffled a by user for the join.
+      // date_trunc('week', ·) is monotone, so trunc(min ts) = min(trunc
+      // ts): the cohort is a per-user window min over the SAME distinct
+      // (user, week) frame, and the user's cohort week is always in that
+      // frame, so cohort_size = count of week==cohort rows. One range
+      // exchange on user_id serves the dedup, the window and (via
+      // ReuseExchange) both aggregate branches — events is scanned once.
+      // Dedup FIRST so the map-side partial aggregate still shrinks the
+      // shuffle (guide §2.3); the narrow range exchange of the deduped
+      // pairs then feeds the cohort window and both branches.
+      val a = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .dropDuplicates("user_id", "week")
+        .repartitionByRange(col("user_id"))
+        .withColumn("cohort",
+          min("week").over(Window.partitionBy("user_id")))
+      val cs = a.where(col("week") === col("cohort"))
+        .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      val g = a
         .select(col("cohort"),
           expr("datediff(week, cohort) div 7").cast("long").as("week_offset"),
           col("user_id"))
@@ -701,16 +734,22 @@ object Aggregates {
         |FROM days d JOIN dau ON d.day = dau.day
         |JOIN wau ON d.day = wau.day
         |ORDER BY d.day""".stripMargin) { (s, d) =>
+      // Single-scan DAU/WAU (r17, guide §2.4): `days` as a distinct over
+      // ud collapsed (optimizer pruning) into a SEPARATE events scan, and
+      // the days ⋈ dau join was an identity (dau's key set IS days — a
+      // per-day aggregate over ud emits exactly ud's distinct days).
+      // Deriving days from dau makes every branch share ud's and dau's
+      // exchanges (ReuseExchange), so events is scanned once; results are
+      // identical because the dropped join matched 1:1 by construction.
       val ud = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
-      val days = ud.select("day").distinct()
-      val wau = days
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("n_dau"))
+      val wau = dau.select("day")
         .join(ud.select(col("user_id"), col("day").as("uday")),
           col("uday").between(date_sub(col("day"), 6), col("day")))
         .groupBy("day")
         .agg(countDistinct("user_id").as("n_wau"))
-      val dau = ud.groupBy("day").agg(count(lit(1)).as("n_dau"))
-      days.join(dau, Seq("day")).join(wau, Seq("day"))
+      dau.join(wau, Seq("day"))
         .select(col("day"), col("n_dau"), col("n_wau").cast("long").as("n_wau"),
           (col("n_dau").cast("double") / col("n_wau")).as("stickiness"))
         .orderBy("day")
@@ -732,10 +771,16 @@ object Aggregates {
         |  CAST(sum(1 - is_new) AS BIGINT) AS n_returning,
         |  CAST(sum(is_new) AS DOUBLE) / count(*) AS new_share
         |FROM j GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
-      val f = ud.groupBy("user_id").agg(min("day").as("first_day"))
-      ud.join(f, Seq("user_id"))
+      // Single-scan new/returning (r17): first_day is a per-user window
+      // min over the same distinct (user, day) frame the join rebuilt —
+      // one range exchange serves dedup + window, no second scan, no join
+      // (same equivalence argument as q_retention_cohorts).
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .dropDuplicates("user_id", "day") // partial dedup before shuffle
+        .repartitionByRange(col("user_id"))
+        .withColumn("first_day",
+          min("day").over(Window.partitionBy("user_id")))
         .select(col("day"),
           when(col("day") === col("first_day"), 1L).otherwise(0L).as("is_new"))
         .groupBy("day")
@@ -843,7 +888,10 @@ object Aggregates {
         |       THEN e.value END) - 1.0) * 100.0 AS decoupling_pct
         |FROM events e JOIN b USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      conditionalHalves(Tables.events(s, d), "user_id", "ts", "value")
+      // range partition on user_id: one exchange for bounds window +
+      // halves aggregate + final sort (see conditionalHalves)
+      conditionalHalves(Tables.events(s, d).repartitionByRange(col("user_id")),
+        "user_id", "ts", "value")
         .orderBy("user_id")
     },
 
@@ -1324,6 +1372,12 @@ object Aggregates {
         |FROM wk a LEFT JOIN wk b
         |  ON b.user_id = a.user_id AND b.week_idx = a.week_idx + 1
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // (r17 A/B: a lead()-window rewrite over a range exchange on
+      // user_id regressed this query 0.385 -> 0.459 s — range-partitioning
+      // the RAW pairs forfeits the distinct's map-side partial dedup,
+      // which shrinks this shuffle ~10×. The self-join form keeps the
+      // partial dedup and its broadcast is planner-chosen, not forced, so
+      // at scale it degrades to a co-keyed sort-merge join. Left as-is.)
       val wk = Tables.events(s, d)
         .select(col("user_id"),
           expr("unix_timestamp(ts) div 604800").as("week_idx"))

@@ -89,8 +89,16 @@ object Windows {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
-      latestVersion(Tables.orders(s, d), "o_custkey", "o_orderdate",
-        "o_orderkey")
+      // One range exchange shared by the window and the final sort (r17,
+      // guide §2.4): the window needs rows clustered by o_custkey and the
+      // output is ordered by o_custkey, so range-partitioning up front
+      // satisfies BOTH — the hash exchange + final range exchange (whose
+      // sampler re-ran the whole window, the measured double-compute)
+      // collapse to one exchange whose sampler reads only the raw scan.
+      // Equal keys land in one range partition, so window semantics are
+      // unchanged; skew behavior matches hash (neither splits one key).
+      latestVersion(Tables.orders(s, d).repartitionByRange(col("o_custkey")),
+        "o_custkey", "o_orderdate", "o_orderkey")
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")
     },
@@ -113,6 +121,12 @@ object Windows {
       // — bytes-based coalescing is the wrong signal for compute-bound
       // windows, so pin the user-group parallelism explicitly
       val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // Narrow hash repartition before the final sort (r17, guide §2.3/
+      // §2.4): the range sampler re-ran the ENTIRE sliding window — the
+      // most expensive operator in the suite (measured 2× window CPU,
+      // 8.3 s total). The exchange carries the 4 output columns only;
+      // the sampler now reads that shuffle instead of re-evaluating
+      // every frame.
       Tables.events(s, d)
         .withColumn("tsec", unix_timestamp(col("ts")))
         .repartition(n, col("user_id"))
@@ -120,6 +134,7 @@ object Windows {
           avg("value").over(w).as("roll_avg"),
           stddev("value").over(w).as("roll_std"),
           count("value").over(w).as("n_in_frame"))
+        .repartition(col("event_id"))
         .orderBy("event_id")
     },
 
@@ -132,6 +147,10 @@ object Windows {
         |  FROM orders) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("day_idx")).rangeBetween(-90L, 0L)
+      // (r17 A/B: a narrow repartition before the sort — the
+      // q_rolling_center sampler fix — REGRESSED this query 0.455->0.68 s;
+      // the sliding max is cheap enough that re-running it under the range
+      // sampler beats paying an extra exchange. Left as-is.)
       Tables.orders(s, d)
         .withColumn("day_idx",
           datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
@@ -157,6 +176,9 @@ object Windows {
             |ELSE (arr[size(arr) div 2 - 1] + arr[size(arr) div 2]) / 2.0
             |END""".stripMargin))
         .select("event_id", "med7")
+        // (r17 A/B: the narrow-repartition sampler fix regressed this
+        // query 0.485->0.60 s — ≤7-row frames are cheap to re-run; see
+        // q_trailing_max_90d)
         .orderBy("event_id")
     },
 
@@ -267,7 +289,12 @@ object Windows {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
+      // Range partitioning shared by the window AND the final sort (r17,
+      // guide §2.4): clustering by user_id serves the window, and the
+      // ORDER BY (user_id, ...) prefix means the final Sort needs no
+      // exchange — which also removes the range sampler that re-ran the
+      // whole window subtree (the measured per-query double-compute).
+      Tables.events(s, d).repartitionByRange(col("user_id"))
         .select(col("user_id"), col("event_id"), col("value"),
           max("value").over(w).as("prev_best"))
         .where(col("prev_best").isNull || col("value") > col("prev_best"))
@@ -286,7 +313,10 @@ object Windows {
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wAll = Window.partitionBy(col("user_id"))
-      Tables.events(s, d)
+      // range partition shared by both windows and the ORDER BY
+      // (user_id, ...) — one exchange, no sampler re-run (see
+      // q_record_events)
+      Tables.events(s, d).repartitionByRange(col("user_id"))
         .withColumn("rn", row_number().over(wOrd).cast("long"))
         .withColumn("n", count(lit(1)).over(wAll))
         .withColumn("step",
@@ -315,7 +345,11 @@ object Windows {
         .orderBy(col("value").asc, col("ts").asc, col("event_id").asc)
       val wDesc = Window.partitionBy(col("event_type"))
         .orderBy(col("value").desc, col("ts").desc, col("event_id").desc)
-      Tables.events(s, d)
+      // range partition on event_type serves both rank windows, the
+      // per-type aggregate AND the ORDER BY — one exchange, no sampler
+      // re-run (see q_record_events); parallelism is |event_type| either
+      // way (hash clustered identically)
+      Tables.events(s, d).repartitionByRange(col("event_type"))
         .withColumn("rn_asc", row_number().over(wAsc))
         .withColumn("rn_desc", row_number().over(wDesc))
         .groupBy("event_type")
@@ -343,7 +377,11 @@ object Windows {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  epoch_ms(max(ts))//1000 - epoch_ms(min(ts))//1000 AS duration_s
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 3600L)
+      // range partition on user_id serves the session window, the
+      // (user_id, session_id) aggregate (same-key rows are colocated) AND
+      // the final sort — one exchange, no sampler re-run (q_record_events)
+      sessionize(Tables.events(s, d).repartitionByRange(col("user_id")),
+        "user_id", "ts", "event_id", 3600L)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
@@ -366,7 +404,12 @@ object Windows {
         |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_events
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val material = zscoreOutliers(Tables.events(s, d), "user_id", "value", 1.5)
+      // range partition on user_id serves the z-score window, the gap
+      // window, the per-user aggregate AND the final sort — one exchange,
+      // no sampler re-run (see q_record_events)
+      val material = zscoreOutliers(
+        Tables.events(s, d).repartitionByRange(col("user_id")),
+        "user_id", "value", 1.5)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       material
         .withColumn("brk",

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_text_lm_topk", // same 1-row vocabulary-size broadcast
     "q_curriculum", // same 1-row vocabulary-size broadcast (via lmScores)
     "q_hybrid_rank", // 1-row dense query vector broadcast
-    "q_event_funnel", // four 1-row stage counts crossed into the report
+    // (q_event_funnel left this set in r17: the single-pass window rewrite
+    // computes all stage counts in one aggregate — no cross join remains)
     "q_rolling_actives", // day-domain-bounded (≤ |days| rows) range probe
     "q_dsir_weight", // same 1-row vocabulary-size broadcast
     "q_sample_mixture", // 1-row total-T broadcast onto per-domain counts
