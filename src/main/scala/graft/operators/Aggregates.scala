@@ -695,7 +695,14 @@ object Aggregates {
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  round(list_reduce(vs, (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
         |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Range partition shared by the collect aggregate and the final
+      // sort (r17, guide §2.4): collect_list has no map-side reduction,
+      // so pre-range-partitioning loses nothing, and the ORDER BY
+      // user_id then needs no exchange — which also stops the range
+      // sampler re-running the per-user fold.
       Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .repartitionByRange(col("user_id"))
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(
           unix_micros(col("ts")).as("us"), col("event_id"), col("value"))))

@@ -652,6 +652,9 @@ object TextOps {
           size(col("plrs")).cast("long").as("n_bigrams"),
           expr("round(aggregate(plrs, cast(0 AS double), (a, x) -> a + x.lr) / size(plrs), 6)")
             .as("dsir_weight"))
+        // narrow repartition: the range sampler re-ran the model probe +
+        // per-doc fold (1.1 s CPU) — see q_doc_chunks
+        .repartition(col("doc_id"))
         .orderBy("doc_id")
     },
 
@@ -929,6 +932,9 @@ object TextOps {
           (col("top_w").cast("double") / col("n_toks") > 0.2 ||
             coalesce(col("top_b").cast("double") / col("n_bg"), lit(0.0)) > 0.18)
             .as("is_repetitive"))
+        // narrow repartition: the range sampler re-ran both max-run folds
+        // (word + bigram, 1.1 s CPU) — see q_doc_chunks
+        .repartition(col("doc_id"))
         .orderBy("doc_id")
     },
 
@@ -1151,6 +1157,10 @@ object TextOps {
         .select(col("doc_id"), col("n_tokens"), col("w_sum"),
           (col("w_sum").cast("double") / col("n_tokens")).as("score"),
           (col("w_sum") > 0).as("keep"))
+        // narrow repartition: the range sampler re-ran the whole hashed
+        // scoring pass (1.9 s CPU, the map-only model serve) — see
+        // q_doc_chunks
+        .repartition(col("doc_id"))
         .orderBy("doc_id")
     },
 
@@ -1222,6 +1232,10 @@ object TextOps {
             .as("n_chunk_tokens"),
           expr(s"aggregate(slice(th, start, 32), 0L, " +
             s"(a, x) -> (a * 8191 + x) % $P)").as("chunk_hash"))
+        // narrow repartition: the range sampler re-ran the per-token hash
+        // + chunk fold (1.8 s CPU); materialize it behind a hash exchange
+        // of the 5 output columns (r17, same fix as q_json_extract)
+        .repartition(col("doc_id"))
         .orderBy("doc_id", "start")
     },
 
@@ -1242,6 +1256,9 @@ object TextOps {
           regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"),
           size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
             .as("n_masked"))
+        // narrow repartition: the range sampler re-ran both regexes over
+        // the props blob — see q_doc_chunks / q_json_extract
+        .repartition(col("event_id"))
         .orderBy("event_id")
     },
 

@@ -199,10 +199,16 @@ object Windows {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
         |    RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)) t
         |WHERE n_base >= 3 ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      // Daily pre-agg keeps its map-side partial sum; the narrow range
+      // exchange of the DAILY rows then serves the baseline window AND
+      // the (user_id, day) sort — one exchange fewer, and the range
+      // sampler reads shuffle output instead of re-running the window
+      // (r17, guide §2.4; dedup-first shape as q_retention_cohorts).
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), col("ts").cast("date").as("day"))
         .agg(sum("value").as("daily_v"))
         .withColumn("day_idx", datediff(col("day"), lit("1990-01-01")).cast("long"))
+        .repartitionByRange(col("user_id"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("day_idx")).rangeBetween(-30L, -1L)
       daily
@@ -245,9 +251,13 @@ object Windows {
         |FROM s ORDER BY user_id, day""".stripMargin) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
       val wRows = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      // daily partial agg kept; range exchange of daily rows shared by
+      // the streak windows and the (user_id, day) sort (see
+      // q_baseline_band)
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), col("ts").cast("date").as("day"))
         .agg(sum("value").as("daily_v"))
+        .repartitionByRange(col("user_id"))
       daily.withColumn("inc",
           when(lag(col("daily_v"), 1).over(wOrd).isNull ||
             col("daily_v") <= lag(col("daily_v"), 1).over(wOrd), 0).otherwise(1))
